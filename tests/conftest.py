@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-virtual-device CPU JAX so every pjit/
+shard_map path is exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# Must run before jax initializes its backends (conftest imports precede tests).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
