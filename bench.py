@@ -1,0 +1,118 @@
+"""Headline benchmark: images/sec/chip for the fused SNGAN CIFAR-10 G+D train
+step (BASELINE.json primary metric), on whatever accelerator JAX sees.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against an XLA-CPU run of the same fused step — the
+stand-in for the reference's TF1-on-CPU baseline (north-star: >=5x). XLA-CPU
+is, if anything, faster than TF1 CPU, so the ratio is conservative. Because
+the CPU leg takes ~10+ min to compile, its result is cached in
+``baselines_cpu.json``; delete that file to re-measure.
+
+Sync note: ``jax.block_until_ready`` returns early on the tunneled axon TPU
+backend; timings here use end-of-chain host transfers (one device_get after N
+chained steps), so they measure device compute, not per-step host RTT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "baselines_cpu.json")
+
+
+def build_step(compute_dtype, cpu: bool = False):
+    from gan_lib_tensorflow_tpu.models import sngan
+    from gan_lib_tensorflow_tpu import train
+
+    g = sngan.cifar_generator(compute_dtype=compute_dtype)
+    d = sngan.cifar_discriminator(compute_dtype=compute_dtype)
+    spec = sngan.make_sngan_spec(g, d, n_critic=5, ema_decay=0.9999)
+    g_optim = optax.adam(2e-4, b1=0.0, b2=0.9)
+    d_optim = optax.adam(2e-4, b1=0.0, b2=0.9)
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, g.z_dim)), train=False),
+        lambda r: d.init(r, jnp.zeros((2, 32, 32, 3))),
+        g_optim, d_optim, ema_decay=spec.ema_decay)
+    device = jax.devices("cpu")[0] if cpu else None
+    step = jax.jit(train.make_train_step(spec, g_optim, d_optim),
+                   donate_argnums=0, device=device)
+    return spec, state, step, device
+
+
+def run(batch_size=64, timed_steps=100, compute_dtype=jnp.bfloat16,
+        cpu=False, warmup=3):
+    spec, state, step, device = build_step(compute_dtype, cpu=cpu)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.standard_normal((spec.n_micro, batch_size, 32, 32, 3),
+                                dtype=np.float32).clip(-1, 1)),
+        "label": jnp.asarray(
+            rng.integers(0, 10, (spec.n_micro, batch_size)), jnp.int32),
+    }
+    if device is not None:
+        batch = jax.device_put(batch, device)
+        state = jax.device_put(state, device)
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["d_loss"])  # hard sync (block_until_ready lies on axon)
+    t0 = time.perf_counter()
+    for _ in range(timed_steps):
+        state, metrics = step(state, batch)
+    float(metrics["d_loss"])  # end-of-chain sync
+    dt = time.perf_counter() - t0
+    # images consumed per fused step = n_critic * batch (each critic update
+    # sees a fresh real batch, like the reference's 5 sess.runs)
+    images = timed_steps * spec.n_critic * batch_size
+    return images / dt
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            return float(json.load(f)["cpu_baseline_images_per_sec"])
+    ips = run(timed_steps=2, warmup=1, compute_dtype=None, cpu=True)
+    with open(_BASELINE_CACHE, "w") as f:
+        json.dump({"cpu_baseline_images_per_sec": round(ips, 2)}, f)
+    return ips
+
+
+def main():
+    ips_accel = run(cpu=False)
+    n_chips = jax.device_count()
+    per_chip = ips_accel / n_chips
+    try:
+        ips_cpu = cpu_baseline()
+    except Exception as e:  # pragma: no cover
+        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+        ips_cpu = float("nan")
+    print(json.dumps({
+        "metric": "SNGAN CIFAR-10 fused G+D train step throughput",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / ips_cpu, 2) if np.isfinite(ips_cpu) else None,
+        "detail": {
+            "backend": jax.default_backend(),
+            "n_chips": n_chips,
+            "batch_size": 64,
+            "n_critic": 5,
+            "compute_dtype": "bfloat16",
+            "cpu_baseline_images_per_sec": round(ips_cpu, 2) if np.isfinite(ips_cpu) else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

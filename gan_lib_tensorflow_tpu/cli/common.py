@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the per-model entry points.
+
+The reference exposes per-model ``train.py`` scripts with argparse/tf.app.flags
+(SURVEY.md §1 L5); these entry points mirror that surface
+(``python -m gan_lib_tensorflow_tpu.cli.train_sngan --...``) with one shared
+flag vocabulary.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--steps", type=int, default=100_000, help="total G steps")
+    p.add_argument("--batch-size", type=int, default=64, help="global batch size")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data", default="auto",
+                   help="data backend: auto | fake | cifar10 | <path>")
+    p.add_argument("--out-dir", default="runs/out")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--sample-every", type=int, default=1000)
+    p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--compute-dtype", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--no-mesh", action="store_true",
+                   help="disable the data-parallel mesh even with >1 device")
+    p.add_argument("--curves", action="store_true", help="write metric curve PNGs")
+    p.add_argument("--trace-steps", type=int, default=0,
+                   help="capture an XLA profile for N steps")
+    p.add_argument("--fault-inject-step", type=int, default=0)
+    return p
+
+
+def compute_dtype(args) -> Optional[jnp.dtype]:
+    return {"fp32": None, "bf16": jnp.bfloat16}[args.compute_dtype]
+
+
+def maybe_mesh(args):
+    from ..parallel import create_mesh
+    if args.no_mesh or jax.device_count() == 1:
+        return None
+    return create_mesh()
+
+
+def image_source(args, batch_size: int, image_size: int, num_classes: int):
+    """Resolve --data to a DataSource ('auto' prefers real CIFAR, falls back
+    to the deterministic synthetic backend)."""
+    from .. import data
+    if args.data in ("auto", "cifar10"):
+        try:
+            return data.Cifar10(batch_size=batch_size, seed=args.seed)
+        except FileNotFoundError:
+            if args.data == "cifar10":
+                raise
+            print("note: CIFAR-10 not found on disk; using synthetic data", flush=True)
+    return data.FakeImages(batch_size=batch_size, image_size=image_size,
+                           num_classes=num_classes, seed=args.seed)

@@ -1,0 +1,59 @@
+"""PGGAN entry point: the full progressive ladder 4x4 -> --final-resolution
+(reference ``PGGAN/train.py``; WGAN-GP, Adam(1e-3, 0, 0.99), fade-in then
+stabilize per level).
+
+Usage: python -m gan_lib_tensorflow_tpu.cli.train_pggan --final-resolution 1024
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+
+from .. import data as data_lib
+from ..train.pggan_loop import LadderConfig, train_pggan_ladder
+from . import common
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--final-resolution", type=int, default=1024)
+    p.add_argument("--images-per-phase", type=int, default=600_000)
+    p.add_argument("--width-mul", type=float, default=1.0)
+    p.add_argument("--z-dim", type=int, default=512)
+    p.add_argument("--steps-per-phase", type=int, default=0,
+                   help="override phase length in steps (smoke runs)")
+    p.set_defaults(lr=1e-3)
+    args = p.parse_args(argv)
+
+    cfg = LadderConfig(
+        final_resolution=args.final_resolution,
+        images_per_phase=args.images_per_phase,
+        lr=args.lr, width_mul=args.width_mul, z_dim=args.z_dim,
+        compute_dtype=common.compute_dtype(args), seed=args.seed,
+        out_dir=args.out_dir, log_every=args.log_every,
+        sample_every=args.sample_every, checkpoint_every=args.ckpt_every,
+        steps_per_phase=args.steps_per_phase or None)
+
+    if args.data not in ("auto", "fake") :
+        raise NotImplementedError(
+            "CelebA-HQ folder loading: point data.MultiResolution at a real "
+            "max-resolution source; offline default is synthetic")
+    base = data_lib.FakeImages(batch_size=max(cfg.batch_by_res.values()),
+                               image_size=args.final_resolution,
+                               num_classes=1, seed=args.seed)
+    multi = data_lib.MultiResolution(base=base,
+                                     max_resolution=args.final_resolution)
+
+    def source_factory(res, batch):
+        src = multi.at_resolution(res)
+        src.base.batch_size = batch
+        return src
+
+    mesh = common.maybe_mesh(args)
+    train_pggan_ladder(cfg, source_factory, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,147 @@
+"""pix2pix entry point with the reference's three modes (SURVEY.md §3.2):
+train / test (paired translation + HTML gallery) / export (params+apply
+bundle).
+
+Usage:
+  python -m gan_lib_tensorflow_tpu.cli.train_pix2pix --mode train --data fake
+  python -m gan_lib_tensorflow_tpu.cli.train_pix2pix --mode test --data <dir>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import data as data_lib
+from ..models import pix2pix
+from ..train import (CheckpointManager, LoopConfig, create_state,
+                     jit_train_step, train_loop)
+from ..utils import save_image_grid, to_uint8
+from ..utils.html import write_gallery
+from . import common
+
+
+def paired_source(args):
+    if args.data in ("auto", "fake") or not os.path.isdir(args.data):
+        if args.data not in ("auto", "fake"):
+            raise FileNotFoundError(f"--data dir not found: {args.data}")
+        return data_lib.FakePairedImages(batch_size=args.batch_size,
+                                         image_size=args.image_size,
+                                         seed=args.seed)
+    return data_lib.PairedImageFolder(args.data, batch_size=args.batch_size,
+                                      image_size=args.image_size,
+                                      which_direction=args.which_direction,
+                                      seed=args.seed)
+
+
+def build(args):
+    dtype = common.compute_dtype(args)
+    g = pix2pix.UNetGenerator(base_ch=args.ngf, compute_dtype=dtype)
+    d = pix2pix.PatchGANDiscriminator(base_ch=args.ndf, compute_dtype=dtype)
+    spec = pix2pix.make_pix2pix_spec(g, d, gan_weight=args.gan_weight,
+                                     l1_weight=args.l1_weight)
+    g_optim = optax.adam(args.lr, b1=args.beta1)
+    d_optim = optax.adam(args.lr, b1=args.beta1)
+    s = args.image_size
+    state = create_state(
+        jax.random.PRNGKey(args.seed),
+        lambda r: g.init({"params": r, "dropout": jax.random.PRNGKey(7)},
+                         jnp.zeros((1, s, s, 3)), train=False),
+        lambda r: d.init(r, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)),
+                         train=False),
+        g_optim, d_optim)
+    return g, d, spec, g_optim, d_optim, state
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--mode", default="train", choices=["train", "test", "export"])
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--gan-weight", type=float, default=1.0)
+    p.add_argument("--l1-weight", type=float, default=100.0)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--which-direction", default="AtoB", choices=["AtoB", "BtoA"])
+    p.add_argument("--max-test-images", type=int, default=64)
+    p.set_defaults(batch_size=1, steps=40_000)
+    args = p.parse_args(argv)
+
+    g, d, spec, g_optim, d_optim, state = build(args)
+    ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
+
+    if args.mode == "train":
+        mesh = common.maybe_mesh(args)
+        step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+        source = paired_source(args)
+        translator = pix2pix.make_translator(g)
+        fixed = next(iter(source))
+
+        def sample_fn(st, it):
+            out = translator(pix2pix.generator_variables(st),
+                             jnp.asarray(fixed["input"]), jax.random.PRNGKey(0))
+            trip = np.concatenate([fixed["input"], np.asarray(out), fixed["target"]], axis=2)
+            save_image_grid(trip, os.path.join(args.out_dir, "samples", f"{it:06d}.png"),
+                            rows=len(trip))
+
+        cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
+                         sample_every=args.sample_every,
+                         checkpoint_every=args.ckpt_every, out_dir=args.out_dir,
+                         curves=args.curves, trace_steps=args.trace_steps,
+                         fault_inject_step=args.fault_inject_step)
+        train_loop(state, step_fn, source, spec.n_micro, cfg, mesh=mesh,
+                   sample_fn=sample_fn, ckpt=ckpt)
+        return
+
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+        print(f"restored step {int(state.step)}", flush=True)
+
+    if args.mode == "test":
+        source = paired_source(args)
+        it = (source.eval_iter() if hasattr(source, "eval_iter")
+              else iter(source))
+        translator = pix2pix.make_translator(g)
+        img_dir = os.path.join(args.out_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        from PIL import Image
+        for i, ex in enumerate(it):
+            if i >= args.max_test_images:
+                break
+            out = np.asarray(translator(pix2pix.generator_variables(state),
+                                        jnp.asarray(ex["input"]),
+                                        jax.random.PRNGKey(i)))
+            name = ex.get("name", f"{i:05d}")
+            row = {"name": name}
+            for kind, arr in (("input", ex["input"]), ("output", out),
+                              ("target", ex["target"])):
+                fn = f"{name}-{kind}.png"
+                Image.fromarray(to_uint8(arr[0])).save(os.path.join(img_dir, fn))
+                row[kind] = f"images/{fn}"
+            rows.append(row)
+        path = write_gallery(args.out_dir, rows)
+        print(f"wrote {len(rows)} examples to {path}", flush=True)
+        return
+
+    if args.mode == "export":
+        # Serving bundle: generator params + a compile-ready apply fn
+        # (the reference exports a frozen meta-graph; the JAX equivalent is
+        # params + the jitted apply, re-jittable at load).
+        export_dir = os.path.join(args.out_dir, "export")
+        ex_ckpt = CheckpointManager(export_dir)
+        ex_ckpt.save(int(state.step),
+                     {"g_params": state.g_params, "g_state": state.g_state},
+                     wait=True)
+        ex_ckpt.close()
+        print(f"exported generator to {export_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

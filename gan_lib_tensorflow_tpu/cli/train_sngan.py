@@ -1,0 +1,86 @@
+"""SNGAN CIFAR-10 training entry point — the metric/north-star config
+(reference ``SNGAN/train.py``: hinge, Adam(2e-4, 0, 0.9), n_dis=5, batch 64,
+linear lr decay over 100k G steps).
+
+Usage: python -m gan_lib_tensorflow_tpu.cli.train_sngan --steps 100000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import data as data_lib
+from ..models import sngan
+from ..train import (CheckpointManager, LoopConfig, create_state,
+                     jit_train_step, train_loop)
+from ..utils import save_image_grid
+from . import common
+
+
+def build(args):
+    dtype = common.compute_dtype(args)
+    g = sngan.cifar_generator(compute_dtype=dtype, num_classes=args.num_classes)
+    d = sngan.cifar_discriminator(compute_dtype=dtype, num_classes=args.num_classes)
+    spec = sngan.make_sngan_spec(g, d, n_critic=args.n_critic,
+                                 ema_decay=args.ema_decay)
+    sched = optax.linear_schedule(args.lr, 0.0, args.steps)
+    g_optim = optax.adam(sched, b1=args.beta1, b2=args.beta2)
+    d_optim = optax.adam(sched, b1=args.beta1, b2=args.beta2)
+
+    def g_init(r):
+        zz = jnp.zeros((2, g.z_dim))
+        if args.num_classes:
+            return g.init(r, zz, jnp.zeros((2,), jnp.int32), train=False)
+        return g.init(r, zz, train=False)
+
+    def d_init(r):
+        xx = jnp.zeros((2, 32, 32, 3))
+        if args.num_classes:
+            return d.init(r, xx, jnp.zeros((2,), jnp.int32))
+        return d.init(r, xx)
+
+    state = create_state(jax.random.PRNGKey(args.seed), g_init, d_init,
+                         g_optim, d_optim, ema_decay=spec.ema_decay)
+    return g, d, spec, g_optim, d_optim, state
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--n-critic", type=int, default=5)
+    p.add_argument("--beta1", type=float, default=0.0)
+    p.add_argument("--beta2", type=float, default=0.9)
+    p.add_argument("--num-classes", type=int, default=0,
+                   help=">0 trains the conditional (projection-style) variant")
+    p.add_argument("--ema-decay", type=float, default=0.9999)
+    args = p.parse_args(argv)
+
+    g, d, spec, g_optim, d_optim, state = build(args)
+    mesh = common.maybe_mesh(args)
+    step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+    source = common.image_source(args, args.batch_size, 32, max(args.num_classes, 10))
+
+    sampler = sngan.make_sampler(g)
+    sample_rng = jax.random.PRNGKey(args.seed + 1)
+
+    def sample_fn(st, it):
+        imgs = sampler(st, sample_rng, 64)
+        save_image_grid(jax.device_get(imgs),
+                        os.path.join(args.out_dir, "samples", f"sample_{it:06d}.png"))
+
+    cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
+                     sample_every=args.sample_every,
+                     checkpoint_every=args.ckpt_every, out_dir=args.out_dir,
+                     curves=args.curves, trace_steps=args.trace_steps,
+                     fault_inject_step=args.fault_inject_step)
+    ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
+    train_loop(state, step_fn, source, spec.n_micro, cfg, mesh=mesh,
+               sample_fn=sample_fn, ckpt=ckpt)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

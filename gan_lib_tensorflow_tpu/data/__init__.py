@@ -1,0 +1,24 @@
+"""Data pipelines.
+
+Reference surface (SURVEY.md §2.1): ``common/cifar10.py`` (unpickle + infinite
+shuffled generator), per-model ImageNet/CelebA loaders, and pix2pix's
+queue-runner paired-image pipeline. TPU-native replacements are host-side
+numpy iterators feeding a double-buffered HBM prefetch
+(``parallel.prefetch_to_device``); every loader has a deterministic synthetic
+twin (``fake.py``) because loaders must be testable with no datasets on disk.
+
+All image batches are NHWC float32 in [-1, 1] (scaled at the edge, like the
+reference) with int32 labels where conditional.
+"""
+
+from .base import DataSource, microbatch_stack
+from .fake import FakeImages, FakePairedImages
+from .cifar10 import Cifar10
+from .paired import PairedImageFolder
+from .multires import MultiResolution
+
+__all__ = [
+    "DataSource", "microbatch_stack",
+    "FakeImages", "FakePairedImages",
+    "Cifar10", "PairedImageFolder", "MultiResolution",
+]

@@ -1,0 +1,204 @@
+"""PGGAN: progressive-growing G/D with equalized LR, PixelNorm,
+minibatch-stddev, fade-in blending, and WGAN-GP loss.
+
+Reference: ``PGGAN/model.py`` + ``PGGAN/train.py`` (tkarras
+progressive_growing_of_gans TF1 lineage, SURVEY.md §2.2/§3.3):
+
+* per-resolution networks sharing a trunk; toRGB/fromRGB 1x1 convs per level
+* equalized learning rate (unit-normal init, He multiplier at runtime)
+* PixelNorm after every G conv; LeakyReLU(0.2) in both nets; no norm in D
+* minibatch-stddev feature in the last D block
+* fade-in: out = alpha * new_path + (1 - alpha) * upsample(old_path)
+* loss: WGAN-GP (lambda=10) + 1e-3 drift; Adam(1e-3, 0, 0.99); G EMA 0.999
+
+TPU-native redesign: the reference rebuilds the TF1 graph per level and
+restores trunk weights through ``Saver``. Here each (resolution, phase) is a
+flax module configured statically — fade-in ``alpha`` is a *traced* scalar
+carried in the train state (no recompile per alpha tick) — and cross-level
+growth is pytree surgery (``migrate_params``): modules are named by
+resolution (``block_8``, ``torgb_32``...) so shared trunk params line up
+across stages by path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from ..losses import drift_penalty, gradient_penalty, wgan_d_loss, wgan_g_loss
+from ..ops import Conv, Dense, downsample_avg, minibatch_stddev, pixel_norm, upsample_nearest
+from ..train.step import GANSpec
+
+Dtype = Any
+
+# Karras channel schedule (fmap_base 8192, cap 512), scaled by width_mul for
+# tiny test configs.
+_CHANNELS = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256,
+             128: 128, 256: 64, 512: 32, 1024: 16}
+
+
+def nf(res: int, width_mul: float = 1.0) -> int:
+    return max(int(_CHANNELS[res] * width_mul), 4)
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, 0.2)
+
+
+class PGGANGenerator(nn.Module):
+    resolution: int = 1024          # output resolution of THIS stage
+    fade_in: bool = False           # transition phase: blend prev-level RGB
+    z_dim: int = 512
+    width_mul: float = 1.0          # shrink for tests
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, z, alpha=1.0, *, train: bool = True):
+        del train  # no BN anywhere — pixelnorm is stateless
+        wm = self.width_mul
+        dt = self.compute_dtype
+
+        h = pixel_norm(z[:, None, None, :])  # normalize latents (Karras §4.2)
+        h = Dense(4 * 4 * nf(4, wm), equalized=True,
+                  compute_dtype=dt, name="dense_4")(h.reshape(z.shape[0], -1))
+        h = h.reshape(-1, 4, 4, nf(4, wm))
+        h = pixel_norm(_lrelu(h))
+        h = Conv(nf(4, wm), 3, equalized=True, compute_dtype=dt, name="conv_4")(h)
+        h = pixel_norm(_lrelu(h))
+
+        prev = h
+        res = 8
+        while res <= self.resolution:
+            prev = h
+            h = upsample_nearest(h)
+            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                     name=f"block_{res}_conv1")(h)
+            h = pixel_norm(_lrelu(h))
+            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                     name=f"block_{res}_conv2")(h)
+            h = pixel_norm(_lrelu(h))
+            res *= 2
+
+        rgb = Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
+                   name=f"torgb_{self.resolution}")(h)
+        if self.fade_in and self.resolution > 4:
+            rgb_prev = Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
+                            name=f"torgb_{self.resolution // 2}")(prev)
+            rgb = (alpha * rgb.astype(jnp.float32)
+                   + (1.0 - alpha) * upsample_nearest(rgb_prev.astype(jnp.float32)))
+        return rgb.astype(jnp.float32)
+
+
+class PGGANDiscriminator(nn.Module):
+    resolution: int = 1024
+    fade_in: bool = False
+    width_mul: float = 1.0
+    mbstd_group_size: int = 4
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, alpha=1.0):
+        wm = self.width_mul
+        dt = self.compute_dtype
+
+        h = Conv(nf(self.resolution, wm), 1, equalized=True, compute_dtype=dt,
+                 name=f"fromrgb_{self.resolution}")(x)
+        h = _lrelu(h)
+
+        res = self.resolution
+        first = True
+        while res > 4:
+            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                     name=f"block_{res}_conv1")(h)
+            h = _lrelu(h)
+            h = Conv(nf(res // 2, wm), 3, equalized=True, compute_dtype=dt,
+                     name=f"block_{res}_conv2")(h)
+            h = _lrelu(h)
+            h = downsample_avg(h)
+            if first and self.fade_in:
+                skip = Conv(nf(res // 2, wm), 1, equalized=True, compute_dtype=dt,
+                            name=f"fromrgb_{res // 2}")(downsample_avg(x))
+                h = alpha * h.astype(jnp.float32) + (1.0 - alpha) * _lrelu(
+                    skip.astype(jnp.float32))
+                h = h.astype(x.dtype if dt is None else dt)
+            first = False
+            res //= 2
+
+        h = minibatch_stddev(h, self.mbstd_group_size)
+        h = Conv(nf(4, wm), 3, equalized=True, compute_dtype=dt, name="conv_4")(h)
+        h = _lrelu(h)
+        h = h.reshape(h.shape[0], -1)
+        h = Dense(nf(4, wm), equalized=True, compute_dtype=dt, name="dense_4")(h)
+        h = _lrelu(h)
+        return Dense(1, equalized=True, gain=1.0, compute_dtype=jnp.float32,
+                     name="dense_out")(h)
+
+
+def migrate_params(old_params: Dict, new_params: Dict) -> Tuple[Dict, int]:
+    """Cross-level growth: copy every param whose path+shape exists in both
+    (the shared trunk + previous toRGB/fromRGB); keep fresh init elsewhere.
+    Returns (merged_params, n_copied).
+
+    Replaces the reference's per-level ``Saver.restore`` graph surgery
+    (SURVEY.md §3.3)."""
+    old_flat = flatten_dict(old_params)
+    new_flat = dict(flatten_dict(new_params))
+    copied = 0
+    for k, v in old_flat.items():
+        if k in new_flat and new_flat[k].shape == v.shape:
+            new_flat[k] = v
+            copied += 1
+    return unflatten_dict(new_flat), copied
+
+
+def make_pggan_spec(
+    g_model: PGGANGenerator,
+    d_model: PGGANDiscriminator,
+    gp_weight: float = 10.0,
+    drift_weight: float = 1e-3,
+    ema_decay: float = 0.999,
+) -> GANSpec:
+    """WGAN-GP spec. D has no BN/SN state, so the GP critic closure is pure
+    and the double-backward stays clean (SURVEY.md §7 hard part #1)."""
+    z_dim = g_model.z_dim
+
+    def d_loss(d_params, d_state, g_vars, batch, rng, alpha):
+        real = batch["image"]
+        n = real.shape[0]
+        rng_z, rng_gp = jax.random.split(rng)
+        z = jax.random.normal(rng_z, (n, z_dim))
+        fake = jax.lax.stop_gradient(g_model.apply(g_vars, z, alpha))
+        d_vars = {"params": d_params}
+        real_logits = d_model.apply(d_vars, real, alpha)
+        fake_logits = d_model.apply(d_vars, fake, alpha)
+        critic = lambda x: d_model.apply(d_vars, x, alpha)
+        gp = gradient_penalty(critic, real, fake, rng_gp)
+        wd = wgan_d_loss(real_logits, fake_logits)
+        drift = drift_penalty(real_logits)
+        loss = wd + gp_weight * gp + drift_weight * drift
+        metrics = {"d_loss": loss, "wdist": -wd, "gp": gp}
+        return loss, (dict(d_state), metrics)
+
+    def g_loss(g_params, g_state, d_vars, batch, rng, alpha):
+        n = batch["image"].shape[0]
+        z = jax.random.normal(rng, (n, z_dim))
+        fake = g_model.apply({"params": g_params, **g_state}, z, alpha)
+        fake_logits = d_model.apply(d_vars, fake, alpha)
+        loss = wgan_g_loss(fake_logits)
+        return loss, (dict(g_state), {})
+
+    return GANSpec(d_loss=d_loss, g_loss=g_loss, n_critic=1,
+                   shared_batch=True, ema_decay=ema_decay)
+
+
+def make_sampler(g_model: PGGANGenerator, use_ema: bool = True):
+    def sample(state, rng, n):
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.g_params
+        z = jax.random.normal(rng, (n, g_model.z_dim))
+        return g_model.apply({"params": params}, z, state.alpha)
+    return jax.jit(sample, static_argnums=2)

@@ -1,0 +1,167 @@
+"""pix2pix: U-Net generator + 70x70 PatchGAN discriminator, cGAN + L1.
+
+Reference: ``pix2pix/pix2pix.py`` (affinelayer single-file lineage, SURVEY.md
+§2.2): encoder C64-C128-C256-C512x5 (lrelu 0.2, BN except first), decoder of
+stride-2 deconvs with skip-concat and dropout 0.5 on the first three ups;
+discriminator = 5-layer PatchGAN on concat(input, target) emitting a patch
+logit map; losses L_D = BCE(real pair) + BCE(fake pair),
+L_G = gan_w * BCE + l1_w * |y - G(x)|_1 with gan_w=1, l1_w=100;
+Adam(2e-4, beta1=0.5), batch 1.
+
+Reference quirk preserved: dropout stays ACTIVE at test time (the paper
+samples with dropout; the reference never switches it off), so ``train`` only
+gates BN's running-average use. Pass a 'dropout' rng whenever drop_rate > 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..losses import bce_d_loss, bce_g_loss, l1_loss
+from ..ops import Conv, ConvTranspose
+from ..ops.norms import BatchNorm
+from ..train.step import GANSpec
+
+Dtype = Any
+
+
+class UNetGenerator(nn.Module):
+    base_ch: int = 64
+    out_ch: int = 3
+    drop_rate: float = 0.5
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        c = self.base_ch
+        # Depth adapts so the bottleneck is 1x1 (the reference hardcodes 8
+        # levels for 256 inputs; 2^depth must equal the input resolution).
+        size = min(x.shape[1], x.shape[2])
+        depth = int(size).bit_length() - 1
+        assert 2 ** depth == size >= 8, f"U-Net needs power-of-two input, got {size}"
+        full = (c, c * 2, c * 4, c * 8, c * 8, c * 8, c * 8, c * 8)
+        enc_chs = full[:depth]
+        dec_chs = tuple(reversed(enc_chs[:-1]))
+        dec_drop = tuple(self.drop_rate if i < 3 else 0.0
+                         for i in range(len(dec_chs)))
+
+        skips = []
+        h = x
+        for i, ch in enumerate(enc_chs):
+            if i > 0:
+                h = nn.leaky_relu(h, 0.2)
+            h = Conv(ch, 4, strides=2, compute_dtype=self.compute_dtype,
+                     name=f"enc{i}")(h)
+            if 0 < i < len(enc_chs) - 1:
+                h = BatchNorm(axis_name=self.axis_name,
+                              compute_dtype=self.compute_dtype,
+                              name=f"enc_bn{i}")(h, use_running_average=not train)
+            skips.append(h)
+
+        for i, (ch, dr) in enumerate(zip(dec_chs, dec_drop)):
+            if i > 0:
+                h = jnp.concatenate([h, skips[len(enc_chs) - 1 - i]], axis=-1)
+            h = nn.relu(h)
+            h = ConvTranspose(ch, 4, strides=2, compute_dtype=self.compute_dtype,
+                              name=f"dec{i}")(h)
+            h = BatchNorm(axis_name=self.axis_name,
+                          compute_dtype=self.compute_dtype,
+                          name=f"dec_bn{i}")(h, use_running_average=not train)
+            if dr > 0:
+                # reference applies dropout unconditionally (test-time too)
+                h = nn.Dropout(dr, deterministic=False)(h)
+
+        h = jnp.concatenate([h, skips[0]], axis=-1)
+        h = nn.relu(h)
+        h = ConvTranspose(self.out_ch, 4, strides=2,
+                          compute_dtype=self.compute_dtype, name="dec_out")(h)
+        return jnp.tanh(h.astype(jnp.float32))
+
+
+class PatchGANDiscriminator(nn.Module):
+    """70x70 PatchGAN over channel-concatenated (input, target) pairs.
+
+    Emits a patch map of logits (reference applies sigmoid; we keep logits and
+    use the stable softplus BCE)."""
+
+    base_ch: int = 64
+    n_layers: int = 3
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, inp, tgt, *, train: bool = True):
+        h = jnp.concatenate([inp, tgt], axis=-1)
+        h = Conv(self.base_ch, 4, strides=2, compute_dtype=self.compute_dtype,
+                 name="conv0")(h)
+        h = nn.leaky_relu(h, 0.2)
+        ch = self.base_ch
+        for i in range(1, self.n_layers + 1):
+            ch = min(ch * 2, self.base_ch * 8)
+            stride = 2 if i < self.n_layers else 1
+            h = Conv(ch, 4, strides=stride, compute_dtype=self.compute_dtype,
+                     name=f"conv{i}")(h)
+            h = BatchNorm(axis_name=self.axis_name,
+                          compute_dtype=self.compute_dtype,
+                          name=f"bn{i}")(h, use_running_average=not train)
+            h = nn.leaky_relu(h, 0.2)
+        return Conv(1, 4, strides=1, compute_dtype=jnp.float32,
+                    name="conv_out")(h)
+
+
+def make_pix2pix_spec(
+    g_model: UNetGenerator,
+    d_model: PatchGANDiscriminator,
+    gan_weight: float = 1.0,
+    l1_weight: float = 100.0,
+) -> GANSpec:
+    """cGAN + L1 spec; D and G update on the SAME paired batch per step, like
+    the reference's single fetch group."""
+
+    def d_loss(d_params, d_state, g_vars, batch, rng, alpha):
+        inp, tgt = batch["input"], batch["target"]
+        fake, _ = g_model.apply(g_vars, inp, train=True,
+                                mutable=["batch_stats"], rngs={"dropout": rng})
+        fake = jax.lax.stop_gradient(fake)
+        d_vars = {"params": d_params, **d_state}
+        real_logits, new_state = d_model.apply(
+            d_vars, inp, tgt, train=True, mutable=["batch_stats"])
+        fake_logits, _ = d_model.apply(
+            d_vars, inp, fake, train=True, mutable=["batch_stats"])
+        loss = bce_d_loss(real_logits, fake_logits)
+        return loss, (dict(new_state), {"d_loss": loss})
+
+    def g_loss(g_params, g_state, d_vars, batch, rng, alpha):
+        inp, tgt = batch["input"], batch["target"]
+        fake, new_g_state = g_model.apply(
+            {"params": g_params, **g_state}, inp, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        fake_logits, _ = d_model.apply(d_vars, inp, fake, train=True,
+                                       mutable=["batch_stats"])
+        gan = bce_g_loss(fake_logits)
+        l1 = l1_loss(tgt, fake)
+        loss = gan_weight * gan + l1_weight * l1
+        return loss, (dict(new_g_state), {"g_gan": gan, "g_l1": l1})
+
+    return GANSpec(d_loss=d_loss, g_loss=g_loss, n_critic=1, shared_batch=True)
+
+
+def make_translator(g_model: UNetGenerator):
+    """Jitted input->output translation (reference --mode test); keeps the
+    reference's test-time dropout, seeded deterministically. Takes the full
+    generator variables dict ({'params': ..., 'batch_stats': ...})."""
+
+    def translate(g_variables, inp, rng):
+        return g_model.apply(g_variables, inp, train=False,
+                             rngs={"dropout": rng})
+
+    return jax.jit(translate)
+
+
+def generator_variables(state) -> dict:
+    return {"params": state.g_params, **state.g_state}

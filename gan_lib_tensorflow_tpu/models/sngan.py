@@ -1,0 +1,183 @@
+"""SNGAN ResNet family: CIFAR-10 32x32 (hinge, SURVEY.md §2.2 SNGAN G/D) and
+the ImageNet-128 conditional variant with projection discriminator +
+conditional batch-norm (reference ``SNGAN/model_resnet.py`` and its ImageNet
+sibling; pfnet-research/sngan_projection lineage).
+
+Architecture (CIFAR, Miyato et al. 2018 ResNet):
+  G: z in R^128 -> Dense -> 4x4x256 -> 3 x (up-ResBlock 256) -> BN -> ReLU ->
+     3x3 conv -> tanh -> 32x32x3
+  D: OptimizedBlock(128, down) -> ResBlock(128, down) -> 2 x ResBlock(128) ->
+     ReLU -> global SUM pool -> SN-Dense(1).  All D weights spectral-normed.
+
+ImageNet-128 conditional (SNGAN-projection):
+  G: Dense -> 4x4x1024 -> up-blocks (1024,512,256,128,64) with cond-BN on the
+     class label -> BN-ReLU-conv-tanh -> 128x128x3
+  D: OptimizedBlock(64) -> down-blocks (128,256,512,1024) -> ResBlock(1024) ->
+     ReLU -> sum-pool phi -> SN-Dense(1) + <SN-embed(y), phi>   (projection)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..losses import hinge_d_loss, hinge_g_loss
+from ..ops import (
+    Conv,
+    Dense,
+    DiscOptimizedBlock,
+    DiscResBlock,
+    Embedding,
+    GenResBlock,
+    global_sum_pool,
+)
+from ..ops.norms import BatchNorm
+from ..train.step import GANSpec
+
+Dtype = Any
+
+
+class ResNetGenerator(nn.Module):
+    channels: Tuple[int, ...] = (256, 256, 256)
+    bottom_ch: int = 256
+    bottom: int = 4
+    z_dim: int = 128
+    num_classes: int = 0          # >0 => conditional BN in every block
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, z, labels=None, *, train: bool = True):
+        h = Dense(self.bottom * self.bottom * self.bottom_ch,
+                  compute_dtype=self.compute_dtype, name="dense")(z)
+        h = h.reshape(-1, self.bottom, self.bottom, self.bottom_ch)
+        for i, ch in enumerate(self.channels):
+            h = GenResBlock(
+                ch, upsample=True, num_classes=self.num_classes,
+                axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+                name=f"block{i}")(h, labels, train=train)
+        h = BatchNorm(axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+                      name="bn_out")(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = Conv(3, 3, compute_dtype=self.compute_dtype, name="conv_out")(h)
+        return jnp.tanh(h.astype(jnp.float32))
+
+
+class ResNetDiscriminator(nn.Module):
+    channels: Tuple[int, ...] = (128, 128, 128, 128)
+    downsample: Tuple[bool, ...] = (True, True, False, False)
+    num_classes: int = 0          # >0 => projection discriminator
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, labels=None, *, update_sn: bool = False):
+        h = DiscOptimizedBlock(self.channels[0], compute_dtype=self.compute_dtype,
+                               name="block0")(x, update_sn=update_sn)
+        for i, (ch, down) in enumerate(zip(self.channels[1:], self.downsample[1:])):
+            h = DiscResBlock(ch, downsample=down, compute_dtype=self.compute_dtype,
+                             name=f"block{i + 1}")(h, update_sn=update_sn)
+        h = nn.relu(h)
+        phi = global_sum_pool(h).astype(jnp.float32)
+        out = Dense(1, spectral_norm=True, compute_dtype=jnp.float32,
+                    name="dense_out")(phi, update_sn=update_sn)
+        if self.num_classes > 0:
+            emb = Embedding(self.num_classes, phi.shape[-1], spectral_norm=True,
+                            name="proj_embed")(labels, update_sn=update_sn)
+            out = out + jnp.sum(emb.astype(jnp.float32) * phi, axis=-1, keepdims=True)
+        return out
+
+
+def cifar_generator(compute_dtype=None, num_classes: int = 0) -> ResNetGenerator:
+    return ResNetGenerator(num_classes=num_classes, compute_dtype=compute_dtype)
+
+
+def cifar_discriminator(compute_dtype=None, num_classes: int = 0) -> ResNetDiscriminator:
+    return ResNetDiscriminator(num_classes=num_classes, compute_dtype=compute_dtype)
+
+
+def imagenet128_generator(compute_dtype=None, num_classes: int = 1000) -> ResNetGenerator:
+    return ResNetGenerator(
+        channels=(1024, 512, 256, 128, 64), bottom_ch=1024,
+        num_classes=num_classes, compute_dtype=compute_dtype)
+
+
+def imagenet128_discriminator(compute_dtype=None, num_classes: int = 1000) -> ResNetDiscriminator:
+    return ResNetDiscriminator(
+        channels=(64, 128, 256, 512, 1024, 1024),
+        downsample=(True, True, True, True, True, False),
+        num_classes=num_classes, compute_dtype=compute_dtype)
+
+
+def make_sngan_spec(
+    g_model: ResNetGenerator,
+    d_model: ResNetDiscriminator,
+    n_critic: int = 5,
+    ema_decay: float = 0.0,
+) -> GANSpec:
+    """Hinge-loss GANSpec for (conditional) SNGAN.
+
+    Reference semantics (SNGAN/train.py): each of the 5 critic steps draws a
+    fresh real batch and fresh z; the G step draws fresh z (and, conditional,
+    fresh uniform labels). SN u-vectors advance only inside d_loss.
+    """
+    conditional = g_model.num_classes > 0
+    z_dim = g_model.z_dim
+
+    def _fake(g_vars, rng, n, labels, train=True):
+        z = jax.random.normal(rng, (n, z_dim))
+        args = (z, labels) if conditional else (z,)
+        fake, _ = g_model.apply(g_vars, *args, train=train, mutable=["batch_stats"])
+        return fake
+
+    def _rand_labels(rng, n):
+        return jax.random.randint(rng, (n,), 0, g_model.num_classes)
+
+    def d_loss(d_params, d_state, g_vars, batch, rng, alpha):
+        imgs = batch["image"]
+        n = imgs.shape[0]
+        rng_z, rng_l = jax.random.split(rng)
+        real_labels = batch.get("label") if conditional else None
+        fake_labels = _rand_labels(rng_l, n) if conditional else None
+        fake = jax.lax.stop_gradient(_fake(g_vars, rng_z, n, fake_labels))
+        d_vars = {"params": d_params, **d_state}
+        real_logits, new_state = d_model.apply(
+            d_vars, imgs, real_labels, update_sn=True, mutable=["sn"])
+        fake_logits = d_model.apply(d_vars, fake, fake_labels, update_sn=False)
+        loss = hinge_d_loss(real_logits, fake_logits)
+        metrics = {"d_loss": loss,
+                   "d_real": jnp.mean(real_logits), "d_fake": jnp.mean(fake_logits)}
+        return loss, (dict(new_state), metrics)
+
+    def g_loss(g_params, g_state, d_vars, batch, rng, alpha):
+        n = batch["image"].shape[0]
+        rng_z, rng_l = jax.random.split(rng)
+        labels = _rand_labels(rng_l, n) if conditional else None
+        z = jax.random.normal(rng_z, (n, z_dim))
+        args = (z, labels) if conditional else (z,)
+        fake, new_g_state = g_model.apply(
+            {"params": g_params, **g_state}, *args, train=True,
+            mutable=["batch_stats"])
+        fake_logits = d_model.apply(d_vars, fake, labels, update_sn=False)
+        loss = hinge_g_loss(fake_logits)
+        return loss, (dict(new_g_state), {})
+
+    return GANSpec(d_loss=d_loss, g_loss=g_loss, n_critic=n_critic,
+                   shared_batch=True, ema_decay=ema_decay)
+
+
+def make_sampler(g_model: ResNetGenerator, use_ema: bool = True):
+    """Jitted fixed-noise sampler for grids/eval (reference: restore -> run G
+    on fixed z, SURVEY.md §3.5)."""
+
+    def sample(state, rng, n):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.g_params
+        z = jax.random.normal(rng, (n, g_model.z_dim))
+        if g_model.num_classes > 0:
+            labels = jnp.arange(n) % g_model.num_classes
+            return g_model.apply({"params": params, **state.g_state}, z, labels, train=False)
+        return g_model.apply({"params": params, **state.g_state}, z, train=False)
+
+    return jax.jit(sample, static_argnums=2)

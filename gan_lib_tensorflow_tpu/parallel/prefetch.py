@@ -1,0 +1,43 @@
+"""Host->HBM prefetch: double-buffered device_put so input never stalls compute.
+
+Replaces the reference's per-``sess.run`` feed_dict copy (SURVEY.md §3.1 notes
+it re-copies the batch every critic step). ``jax.device_put`` is async; keeping
+``depth`` batches in flight overlaps the H2D DMA of batch k+1 with the compute
+of batch k.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Iterator, Optional
+
+import jax
+from jax.sharding import Mesh
+
+from .sharding import shard_batch
+
+
+def prefetch_to_device(
+    it: Iterator[Any],
+    mesh: Optional[Mesh] = None,
+    depth: int = 2,
+    leading_stack_dims: int = 0,
+) -> Iterator[Any]:
+    """Yield device-resident batches with ``depth`` transfers in flight.
+
+    With a mesh, batches are laid out batch-sharded over the 'data' axis; the
+    stack dim (fused-step microbatches) replicates.
+    """
+    queue = collections.deque()
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(batch, mesh, leading_stack_dims=leading_stack_dims)
+        return jax.device_put(batch)
+
+    for batch in it:
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

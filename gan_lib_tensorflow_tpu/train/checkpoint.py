@@ -1,0 +1,51 @@
+"""Checkpoint/resume via orbax — the ``tf.train.Saver`` replacement.
+
+Reference: per-model ``Saver`` checkpoints, manual resume; PGGAN keeps
+per-resolution dirs and restores trunk weights across levels (SURVEY.md §5).
+Here: an orbax ``CheckpointManager`` saves the whole ``GANTrainState`` pytree
+(params, opt slots, sn u-vectors, BN stats, EMA, step, rng, alpha);
+``restore_latest`` gives crash auto-resume. PGGAN cross-level migration is
+pytree surgery in ``models/pggan.py``, not a checkpoint concern.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore_latest(self, abstract_state: Any) -> Optional[Any]:
+        """Restore the newest checkpoint into the structure of
+        ``abstract_state`` (a concrete or jax.eval_shape'd state); None if no
+        checkpoint exists."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()

@@ -1,0 +1,94 @@
+"""Generic training loop driving the fused step.
+
+Replaces each reference train script's hand-rolled host loop (SURVEY.md §1 L4:
+"nothing reusable — this is the layer the new framework must invent"). The
+loop owns: device prefetch, periodic flush/sample/checkpoint, NaN guard,
+auto-resume, and optional profiler capture. Model specifics live entirely in
+the GANSpec + sample callback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.base import DataSource, microbatch_stack
+from ..parallel import prefetch_to_device
+from ..utils.logging import ScalarLogger
+from ..utils.profiler import maybe_trace
+from .checkpoint import CheckpointManager
+from .state import GANTrainState
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    total_steps: int = 100_000
+    log_every: int = 100
+    sample_every: int = 1000
+    checkpoint_every: int = 5000
+    out_dir: Optional[str] = None
+    curves: bool = False
+    trace_dir: Optional[str] = None
+    trace_steps: int = 0             # capture a trace for steps [10, 10+n)
+    fault_inject_step: int = 0       # crash at this step (resume testing)
+
+
+def train_loop(
+    state: GANTrainState,
+    step_fn: Callable,
+    source: DataSource,
+    n_micro: int,
+    config: LoopConfig,
+    mesh=None,
+    sample_fn: Optional[Callable[[GANTrainState, int], None]] = None,
+    ckpt: Optional[CheckpointManager] = None,
+    logger: Optional[ScalarLogger] = None,
+    alpha_fn: Optional[Callable[[int], float]] = None,
+) -> GANTrainState:
+    logger = logger or ScalarLogger(config.out_dir, curves=config.curves)
+
+    if ckpt is not None:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", flush=True)
+
+    start_step = int(state.step)
+    batches = prefetch_to_device(
+        microbatch_stack(source, n_micro), mesh, leading_stack_dims=1)
+
+    metrics = None
+    for step, batch in zip(range(start_step, config.total_steps), batches):
+        if config.trace_steps and step == start_step + 10:
+            jax.profiler.start_trace(config.trace_dir or (config.out_dir or ".") + "/trace")
+        if alpha_fn is not None:
+            # PGGAN fade-in: alpha is a traced state scalar — updating it does
+            # NOT recompile the step (SURVEY.md §5 long-context row).
+            state = state.replace(alpha=jnp.float32(alpha_fn(step)))
+        state, metrics = step_fn(state, batch)
+        if config.trace_steps and step == start_step + 10 + config.trace_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+
+        if config.fault_inject_step and step + 1 == config.fault_inject_step:
+            raise RuntimeError(f"fault injected at step {step + 1}")
+
+        it = step + 1
+        if it % config.log_every == 0 or it == config.total_steps:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            if not all(np.isfinite(list(host_metrics.values()))):
+                raise FloatingPointError(f"non-finite metrics at step {it}: {host_metrics}")
+            logger.log(it, host_metrics)
+            logger.flush(it)
+        if sample_fn is not None and (it % config.sample_every == 0 or it == config.total_steps):
+            sample_fn(state, it)
+        if ckpt is not None and (it % config.checkpoint_every == 0 or it == config.total_steps):
+            ckpt.save(it, state)
+
+    if ckpt is not None:
+        ckpt.wait()
+    return state

@@ -1,0 +1,106 @@
+"""Model-family forward tests at tiny widths: shapes, conditioning paths,
+projection head, U-Net/PatchGAN geometry, PGGAN fade-in (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_lib_tensorflow_tpu.models import pggan, pix2pix, sngan
+
+
+def test_sngan_generator_output_geometry():
+    g = sngan.ResNetGenerator(channels=(16, 16, 16), bottom_ch=16, z_dim=8)
+    z = jnp.zeros((2, 8))
+    y, _ = g.init_with_output(jax.random.PRNGKey(0), z, train=False)
+    assert y.shape == (2, 32, 32, 3)
+    assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_sngan_projection_conditional_path():
+    g = sngan.ResNetGenerator(channels=(16, 16), bottom_ch=16, z_dim=8,
+                              num_classes=5)
+    d = sngan.ResNetDiscriminator(channels=(16, 16), downsample=(True, False),
+                                  num_classes=5)
+    z = jax.random.normal(jax.random.PRNGKey(5), (4, 8))
+    labels = jnp.array([0, 1, 2, 3])
+    y, gv = g.init_with_output(jax.random.PRNGKey(0), z, labels, train=True)
+    assert y.shape == (4, 16, 16, 3)
+    # cond-BN has per-class gamma/beta embeddings
+    assert gv["params"]["block0"]["bn1"]["gamma"]["embedding"].shape == (5, 16)
+
+    logits, dv = d.init_with_output(jax.random.PRNGKey(1), y, labels)
+    assert logits.shape == (4, 1)
+    # projection: same image, different label => different logit
+    l0 = d.apply(dv, y, jnp.zeros((4,), jnp.int32))
+    l1 = d.apply(dv, y, jnp.ones((4,), jnp.int32))
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # projection embedding is spectral-normalized (has sn state)
+    assert "proj_embed" in dv["sn"]
+
+
+def test_unet_generator_shapes_and_skips():
+    g = pix2pix.UNetGenerator(base_ch=4)
+    x = jnp.zeros((1, 256, 256, 3))
+    y, _ = g.init_with_output(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    assert y.shape == (1, 256, 256, 3)
+
+
+def test_patchgan_is_70x70_receptive_field():
+    """3 stride-2 + 2 stride-1 4x4 convs => 70x70 receptive field and a
+    30x30-ish patch map on 256 input (SAME padding gives 32x32 here)."""
+    d = pix2pix.PatchGANDiscriminator(base_ch=4)
+    a = jnp.zeros((1, 256, 256, 3))
+    y, _ = d.init_with_output(jax.random.PRNGKey(0), a, a, train=False)
+    assert y.shape[0] == 1 and y.shape[-1] == 1
+    assert y.shape[1] == y.shape[2] == 32  # patch map, not a scalar
+
+
+def test_pggan_generator_resolutions_and_fadein():
+    for res in (4, 8, 16):
+        g = pggan.PGGANGenerator(resolution=res, z_dim=16, width_mul=1 / 32)
+        z = jnp.zeros((2, 16))
+        y, _ = g.init_with_output(jax.random.PRNGKey(0), z, 1.0)
+        assert y.shape == (2, res, res, 3)
+
+    # fade-in: alpha=0 must equal upsampled prev-level RGB path
+    g = pggan.PGGANGenerator(resolution=8, fade_in=True, z_dim=16, width_mul=1 / 32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    variables = g.init(jax.random.PRNGKey(0), z, 0.5)
+    y0 = g.apply(variables, z, 0.0)
+    y1 = g.apply(variables, z, 1.0)
+    ymid = g.apply(variables, z, 0.5)
+    np.testing.assert_allclose(np.asarray(ymid), np.asarray(0.5 * y0 + 0.5 * y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pggan_discriminator_fadein_blend():
+    d = pggan.PGGANDiscriminator(resolution=8, fade_in=True, width_mul=1 / 32,
+                                 mbstd_group_size=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    variables = d.init(jax.random.PRNGKey(1), x, 0.5)
+    l0 = d.apply(variables, x, 0.0)
+    l1 = d.apply(variables, x, 1.0)
+    assert l0.shape == (4, 1)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_pggan_migration_preserves_trunk_bitwise():
+    g_small = pggan.PGGANGenerator(resolution=8, z_dim=16, width_mul=1 / 32)
+    g_big = pggan.PGGANGenerator(resolution=16, fade_in=True, z_dim=16,
+                                 width_mul=1 / 32)
+    z = jnp.zeros((2, 16))
+    p_small = g_small.init(jax.random.PRNGKey(0), z, 1.0)["params"]
+    p_big = g_big.init(jax.random.PRNGKey(1), z, 1.0)["params"]
+    merged, copied = pggan.migrate_params(p_small, p_big)
+    # trunk (dense_4, conv_4, block_8) + torgb_8 all carried over
+    assert copied >= 8
+    np.testing.assert_array_equal(
+        np.asarray(merged["block_8_conv1"]["kernel"]),
+        np.asarray(p_small["block_8_conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["torgb_8"]["kernel"]),
+        np.asarray(p_small["torgb_8"]["kernel"]))
+    # new level keeps its fresh init
+    assert "block_16_conv1" in merged

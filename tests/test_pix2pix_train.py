@@ -1,0 +1,53 @@
+"""pix2pix train-step integration at tiny size (64x64, base_ch 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gan_lib_tensorflow_tpu import data, train
+from gan_lib_tensorflow_tpu.models import pix2pix
+
+
+def test_pix2pix_fused_step():
+    g = pix2pix.UNetGenerator(base_ch=4)
+    d = pix2pix.PatchGANDiscriminator(base_ch=4)
+    spec = pix2pix.make_pix2pix_spec(g, d)
+    g_optim = optax.adam(2e-4, b1=0.5)
+    d_optim = optax.adam(2e-4, b1=0.5)
+
+    x64 = jnp.zeros((1, 64, 64, 3))
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init({"params": r, "dropout": jax.random.PRNGKey(9)},
+                         x64, train=False),
+        lambda r: d.init(r, x64, x64, train=False),
+        g_optim, d_optim)
+    step_fn = train.jit_train_step(spec, g_optim, d_optim)
+
+    g_kernel_before = np.asarray(state.g_params["enc0"]["kernel"])
+    src = data.FakePairedImages(batch_size=2, image_size=64, seed=0)
+    it = data.microbatch_stack(src, spec.n_micro)
+    l1s = []
+    for _ in range(4):
+        state, metrics = step_fn(state, next(it))
+        assert np.isfinite(float(metrics["d_loss"]))
+        l1s.append(float(metrics["g_l1"]))
+    assert int(state.step) == 4
+    assert all(np.isfinite(l1s)) and l1s[-1] < l1s[0] * 1.5  # no blow-up
+    # G actually updated
+    assert not np.allclose(np.asarray(state.g_params["enc0"]["kernel"]),
+                           g_kernel_before)
+
+
+def test_translator_deterministic_given_rng():
+    g = pix2pix.UNetGenerator(base_ch=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = g.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, train=False)
+
+    t = pix2pix.make_translator(g)
+    inp = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    a = t(variables, inp, jax.random.PRNGKey(3))
+    b = t(variables, inp, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,123 @@
+"""Integration tests: fused train step end-to-end on tiny models (SURVEY.md §4
+train-step integration spec), DP sharding on the 8-virtual-device mesh, and
+checkpoint/restore."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gan_lib_tensorflow_tpu import data, parallel, train
+from gan_lib_tensorflow_tpu.models import acgan, sngan
+
+
+def _tiny_sngan():
+    g = sngan.ResNetGenerator(channels=(16, 16), bottom_ch=16, z_dim=8)
+    d = sngan.ResNetDiscriminator(channels=(16, 16), downsample=(True, False))
+    return g, d
+
+
+def _make_state(rng, g, d, g_optim, d_optim, g_args, d_args, ema=0.0):
+    return train.create_state(
+        rng,
+        lambda r: g.init(r, *g_args, train=False),
+        lambda r: d.init(r, *d_args) if not isinstance(d, acgan.ACGANDiscriminator)
+        else d.init(r, *d_args, train=False),
+        g_optim, d_optim, ema_decay=ema)
+
+
+def test_sngan_fused_step_runs_and_updates():
+    g, d = _tiny_sngan()
+    spec = sngan.make_sngan_spec(g, d, n_critic=2, ema_decay=0.999)
+    g_optim = optax.adam(2e-4, b1=0.0, b2=0.9)
+    d_optim = optax.adam(2e-4, b1=0.0, b2=0.9)
+    state = _make_state(jax.random.PRNGKey(0), g, d, g_optim, d_optim,
+                        (jnp.zeros((2, 8)),), (jnp.zeros((2, 16, 16, 3)),),
+                        ema=spec.ema_decay)
+    step_fn = train.jit_train_step(spec, g_optim, d_optim)
+
+    src = data.FakeImages(batch_size=8, image_size=16, seed=0)
+    stack = next(iter(data.microbatch_stack(src, spec.n_micro)))
+
+    # copy to host BEFORE the step: the state is donated into the jit
+    d_kernel_before = np.asarray(state.d_params["block0"]["conv1"]["kernel"])
+    u_before = np.asarray(state.d_state["sn"]["block0"]["conv1"]["u"])
+    state, metrics = step_fn(state, stack)
+
+    assert int(state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert not np.allclose(np.asarray(state.d_params["block0"]["conv1"]["kernel"]),
+                           d_kernel_before)
+    assert not np.allclose(np.asarray(state.d_state["sn"]["block0"]["conv1"]["u"]),
+                           u_before)
+    # EMA must differ from live params after an update (decay < 1)
+    assert not np.allclose(
+        np.asarray(state.ema_params["dense"]["kernel"]),
+        np.asarray(state.g_params["dense"]["kernel"]))
+
+    # second step reuses the compiled fn
+    state, metrics = step_fn(state, stack)
+    assert int(state.step) == 2
+
+
+def test_acgan_smoke_losses_move():
+    g = acgan.ACGANGenerator(base_ch=32, z_dim=16)
+    d = acgan.ACGANDiscriminator(base_ch=8)
+    spec = acgan.make_acgan_spec(g, d)
+    g_optim = optax.adam(2e-4, b1=0.5)
+    d_optim = optax.adam(2e-4, b1=0.5)
+    state = _make_state(jax.random.PRNGKey(0), g, d, g_optim, d_optim,
+                        (jnp.zeros((2, 16)), jnp.zeros((2,), jnp.int32)),
+                        (jnp.zeros((2, 32, 32, 3)),))
+    step_fn = train.jit_train_step(spec, g_optim, d_optim)
+    src = data.FakeImages(batch_size=8, image_size=32, seed=1)
+    it = data.microbatch_stack(src, spec.n_micro)
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, next(it))
+        losses.append(float(metrics["d_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[0] != losses[-1]  # training is actually moving
+
+
+def test_dp_sharded_step_on_8_devices():
+    mesh = parallel.create_mesh()
+    assert mesh.devices.size == 8
+    g, d = _tiny_sngan()
+    spec = sngan.make_sngan_spec(g, d, n_critic=2)
+    g_optim = optax.adam(2e-4)
+    d_optim = optax.adam(2e-4)
+    state = _make_state(jax.random.PRNGKey(0), g, d, g_optim, d_optim,
+                        (jnp.zeros((2, 8)),), (jnp.zeros((2, 16, 16, 3)),))
+    step_fn = train.jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+    src = data.FakeImages(batch_size=16, image_size=16, seed=0)
+    batch = next(parallel.prefetch_to_device(
+        data.microbatch_stack(src, spec.n_micro), mesh, leading_stack_dims=1))
+    # batch really is sharded over 'data'
+    assert len(batch["image"].sharding.device_set) == 8
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    # params stay replicated
+    assert len(state.g_params["dense"]["kernel"].sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip_bitwise(tmp_path):
+    g, d = _tiny_sngan()
+    spec = sngan.make_sngan_spec(g, d, n_critic=1)
+    g_optim = optax.adam(2e-4)
+    d_optim = optax.adam(2e-4)
+    state = _make_state(jax.random.PRNGKey(0), g, d, g_optim, d_optim,
+                        (jnp.zeros((2, 8)),), (jnp.zeros((2, 16, 16, 3)),))
+    step_fn = train.jit_train_step(spec, g_optim, d_optim)
+    src = data.FakeImages(batch_size=4, image_size=16, seed=0)
+    state, _ = step_fn(state, next(iter(data.microbatch_stack(src, spec.n_micro))))
+
+    ckpt = train.CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(int(state.step), state, wait=True)
+    assert ckpt.latest_step() == 1
+    restored = ckpt.restore_latest(jax.tree_util.tree_map(np.zeros_like, state))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
