@@ -48,16 +48,27 @@ def maybe_mesh(args):
     return create_mesh()
 
 
-def image_source(args, batch_size: int, image_size: int, num_classes: int):
-    """Resolve --data to a DataSource ('auto' prefers real CIFAR, falls back
-    to the deterministic synthetic backend)."""
+def image_source(args, batch_size: int, image_size: int, num_classes: int,
+                 n_micro: int = 1):
+    """Resolve --data to a DataSource. 'auto' prefers real CIFAR-10 (wrapped
+    in a threaded prefetcher), falls back to synthetic; 'device-fake'
+    generates batches on the accelerator (zero host cost; single-device)."""
     from .. import data
     if args.data in ("auto", "cifar10"):
         try:
-            return data.Cifar10(batch_size=batch_size, seed=args.seed)
+            return data.ThreadedSource(
+                data.Cifar10(batch_size=batch_size, seed=args.seed))
         except FileNotFoundError:
             if args.data == "cifar10":
                 raise
             print("note: CIFAR-10 not found on disk; using synthetic data", flush=True)
-    return data.FakeImages(batch_size=batch_size, image_size=image_size,
-                           num_classes=num_classes, seed=args.seed)
+    if args.data == "device-fake" and not args.no_mesh and jax.device_count() > 1:
+        print("note: device-fake is single-device; falling back to host fake",
+              flush=True)
+    elif args.data == "device-fake":
+        return data.DeviceFakeImages(batch_size=batch_size, image_size=image_size,
+                                     num_classes=num_classes, seed=args.seed,
+                                     n_micro=n_micro)
+    return data.ThreadedSource(
+        data.FakeImages(batch_size=batch_size, image_size=image_size,
+                        num_classes=num_classes, seed=args.seed))

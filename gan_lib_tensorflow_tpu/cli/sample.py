@@ -12,11 +12,9 @@ import argparse
 import sys
 
 import jax
-import jax.numpy as jnp
 
-from ..train import CheckpointManager, create_state
+from ..train import CheckpointManager, eval_state_from_raw
 from ..utils import save_image_grid
-from . import common
 
 
 def main(argv=None):
@@ -32,57 +30,27 @@ def main(argv=None):
     p.add_argument("--width-mul", type=float, default=1.0, help="pggan only")
     args = p.parse_args(argv)
 
-    import optax
-    optim = optax.adam(1e-4)
-
     if args.model in ("sngan", "sngan_imagenet"):
         from ..models import sngan as m
-        if args.model == "sngan":
-            g = m.cifar_generator(num_classes=args.num_classes)
-            d = m.cifar_discriminator(num_classes=args.num_classes)
-            hw = 32
-        else:
-            nc = args.num_classes or 1000
-            g = m.imagenet128_generator(num_classes=nc)
-            d = m.imagenet128_discriminator(num_classes=nc)
-            hw = 128
-        cond = g.num_classes > 0
-
-        def g_init(r):
-            zz = jnp.zeros((2, g.z_dim))
-            return (g.init(r, zz, jnp.zeros((2,), jnp.int32), train=False)
-                    if cond else g.init(r, zz, train=False))
-
-        def d_init(r):
-            xx = jnp.zeros((2, hw, hw, 3))
-            return (d.init(r, xx, jnp.zeros((2,), jnp.int32)) if cond
-                    else d.init(r, xx))
+        g = (m.cifar_generator(num_classes=args.num_classes)
+             if args.model == "sngan"
+             else m.imagenet128_generator(num_classes=args.num_classes or 1000))
         sampler = m.make_sampler(g)
     elif args.model == "acgan":
         from ..models import acgan as m
-        g = m.ACGANGenerator()
-        d = m.ACGANDiscriminator()
-        g_init = lambda r: g.init(r, jnp.zeros((2, g.z_dim)),
-                                  jnp.zeros((2,), jnp.int32), train=False)
-        d_init = lambda r: d.init(r, jnp.zeros((2, 32, 32, 3)), train=False)
-        sampler = m.make_sampler(g)
+        sampler = m.make_sampler(m.ACGANGenerator())
     else:
         from ..models import pggan as m
         g = m.PGGANGenerator(resolution=args.resolution, width_mul=args.width_mul)
-        d = m.PGGANDiscriminator(resolution=args.resolution, width_mul=args.width_mul)
-        g_init = lambda r: g.init(r, jnp.zeros((2, g.z_dim)), 1.0)
-        d_init = lambda r: d.init(r, jnp.zeros((4, args.resolution, args.resolution, 3)), 1.0)
         sampler = m.make_sampler(g)
 
-    state = create_state(jax.random.PRNGKey(0), g_init, d_init, optim, optim,
-                         ema_decay=0.999)
-    ckpt = CheckpointManager(args.ckpt_dir)
-    restored = ckpt.restore_latest(state)
-    if restored is None:
+    raw = CheckpointManager(args.ckpt_dir).restore_latest_raw()
+    if raw is None:
         raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
-    imgs = sampler(restored, jax.random.PRNGKey(args.seed), args.n)
+    state = eval_state_from_raw(raw)
+    imgs = sampler(state, jax.random.PRNGKey(args.seed), args.n)
     save_image_grid(jax.device_get(imgs), args.out)
-    print(f"wrote {args.n} samples (step {int(restored.step)}) to {args.out}")
+    print(f"wrote {args.n} samples (step {int(state.step)}) to {args.out}")
 
 
 if __name__ == "__main__":

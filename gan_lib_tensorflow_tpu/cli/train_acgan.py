@@ -46,7 +46,7 @@ def main(argv=None):
 
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    source = common.image_source(args, args.batch_size, 32, 10)
+    source = common.image_source(args, args.batch_size, 32, 10, n_micro=spec.n_micro)
 
     sampler = acgan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

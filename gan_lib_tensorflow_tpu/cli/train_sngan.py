@@ -62,7 +62,7 @@ def main(argv=None):
     g, d, spec, g_optim, d_optim, state = build(args)
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    source = common.image_source(args, args.batch_size, 32, max(args.num_classes, 10))
+    source = common.image_source(args, args.batch_size, 32, max(args.num_classes, 10), n_micro=spec.n_micro)
 
     sampler = sngan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

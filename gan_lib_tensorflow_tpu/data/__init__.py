@@ -12,13 +12,15 @@ reference) with int32 labels where conditional.
 """
 
 from .base import DataSource, microbatch_stack
-from .fake import FakeImages, FakePairedImages
+from .fake import DeviceFakeImages, FakeImages, FakePairedImages
 from .cifar10 import Cifar10
 from .paired import PairedImageFolder
 from .multires import MultiResolution
+from .pipeline import ThreadedSource
 
 __all__ = [
     "DataSource", "microbatch_stack",
-    "FakeImages", "FakePairedImages",
+    "FakeImages", "FakePairedImages", "DeviceFakeImages",
     "Cifar10", "PairedImageFolder", "MultiResolution",
+    "ThreadedSource",
 ]

@@ -48,16 +48,20 @@ class Cifar10(DataSource):
             images.append(d[b"data"])
             labels.append(np.asarray(d[b"labels"]))
         x = np.concatenate(images).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        self.images = (x.astype(np.float32) / 127.5) - 1.0  # NHWC [-1, 1]
+        # Keep the store uint8 (150MB instead of 600MB float32); batches are
+        # gathered + normalized to [-1, 1] in one fused native pass.
+        self.images = np.ascontiguousarray(x)
         self.labels = np.concatenate(labels).astype(np.int32)
         self.batch_size = batch_size
         self.seed = seed
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from . import native
         rng = np.random.default_rng(self.seed)
         n = len(self.images)
         while True:
             order = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
                 idx = order[i:i + self.batch_size]
-                yield {"image": self.images[idx], "label": self.labels[idx]}
+                yield {"image": native.gather_normalize(self.images, idx),
+                       "label": self.labels[idx]}

@@ -19,10 +19,8 @@ from .fake import FakeImages
 
 
 def box_downsample(x: np.ndarray, factor: int) -> np.ndarray:
-    if factor == 1:
-        return x
-    n, h, w, c = x.shape
-    return x.reshape(n, h // factor, factor, w // factor, factor, c).mean((2, 4))
+    from . import native
+    return native.box_downsample(np.asarray(x, np.float32), factor)
 
 
 class MultiResolution(DataSource):

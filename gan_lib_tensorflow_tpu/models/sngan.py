@@ -143,9 +143,16 @@ def make_sngan_spec(
         fake_labels = _rand_labels(rng_l, n) if conditional else None
         fake = jax.lax.stop_gradient(_fake(g_vars, rng_z, n, fake_labels))
         d_vars = {"params": d_params, **d_state}
-        real_logits, new_state = d_model.apply(
-            d_vars, imgs, real_labels, update_sn=True, mutable=["sn"])
-        fake_logits = d_model.apply(d_vars, fake, fake_labels, update_sn=False)
+        # One D pass over [real; fake]: D is per-sample (SN only, no BN), so
+        # this is mathematically identical to two passes but doubles the MXU
+        # batch and runs exactly ONE power-iteration u update per critic step
+        # (the reference's per-step sn_update_ops semantics).
+        both = jnp.concatenate([imgs, fake], axis=0)
+        both_labels = (jnp.concatenate([real_labels, fake_labels], axis=0)
+                       if conditional else None)
+        logits, new_state = d_model.apply(
+            d_vars, both, both_labels, update_sn=True, mutable=["sn"])
+        real_logits, fake_logits = logits[:n], logits[n:]
         loss = hinge_d_loss(real_logits, fake_logits)
         metrics = {"d_loss": loss,
                    "d_real": jnp.mean(real_logits), "d_fake": jnp.mean(fake_logits)}

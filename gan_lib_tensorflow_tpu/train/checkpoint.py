@@ -44,6 +44,16 @@ class CheckpointManager:
             return None
         return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
+    def restore_latest_raw(self) -> Optional[dict]:
+        """Restore the newest checkpoint as a raw pytree (dict of arrays),
+        without requiring a matching target structure. Use for inference-side
+        consumers (sample/evaluate) that only need a subset of the state and
+        must not depend on the training run's optimizer layout."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._mngr.restore(step, args=ocp.args.StandardRestore())
+
     def wait(self) -> None:
         self._mngr.wait_until_finished()
 

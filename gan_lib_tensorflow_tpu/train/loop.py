@@ -58,8 +58,13 @@ def train_loop(
             print(f"resumed from step {int(state.step)}", flush=True)
 
     start_step = int(state.step)
-    batches = prefetch_to_device(
-        microbatch_stack(source, n_micro), mesh, leading_stack_dims=1)
+    if getattr(source, "yields_stacks", False):
+        # device-resident source (e.g. DeviceFakeImages): already stacked,
+        # nothing to transfer
+        batches = iter(source)
+    else:
+        batches = prefetch_to_device(
+            microbatch_stack(source, n_micro), mesh, leading_stack_dims=1)
 
     metrics = None
     for step, batch in zip(range(start_step, config.total_steps), batches):

@@ -32,6 +32,29 @@ class GANTrainState:
     alpha: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
 
 
+@struct.dataclass
+class EvalState:
+    """Inference-side view of a checkpoint: just what samplers need. Built
+    from ``CheckpointManager.restore_latest_raw`` so evaluation never depends
+    on the training run's optimizer-state layout."""
+
+    step: jax.Array
+    g_params: Any
+    g_state: Any
+    ema_params: Optional[Any]
+    alpha: jax.Array
+
+
+def eval_state_from_raw(raw: dict) -> EvalState:
+    return EvalState(
+        step=raw["step"],
+        g_params=raw["g_params"],
+        g_state=raw.get("g_state") or {},
+        ema_params=raw.get("ema_params"),
+        alpha=raw.get("alpha", jnp.float32(1.0)),
+    )
+
+
 def create_state(
     rng: jax.Array,
     g_init: Callable[..., Any],
