@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--z-dim", type=int, default=512)
     p.add_argument("--steps-per-phase", type=int, default=0,
                    help="override phase length in steps (smoke runs)")
+    p.add_argument("--sp-shards", type=int, default=1,
+                   help="shard image height over this many chips (GSPMD "
+                        "spatial partitioning for high-res levels)")
     p.set_defaults(lr=1e-3)
     args = p.parse_args(argv)
 
@@ -34,7 +37,8 @@ def main(argv=None):
         compute_dtype=common.compute_dtype(args), seed=args.seed,
         out_dir=args.out_dir, log_every=args.log_every,
         sample_every=args.sample_every, checkpoint_every=args.ckpt_every,
-        steps_per_phase=args.steps_per_phase or None)
+        steps_per_phase=args.steps_per_phase or None,
+        spatial_axis="sp" if args.sp_shards > 1 else None)
 
     if args.data not in ("auto", "fake") :
         raise NotImplementedError(
@@ -51,7 +55,16 @@ def main(argv=None):
         src.base.batch_size = batch
         return src
 
-    mesh = common.maybe_mesh(args)
+    import jax
+    from ..parallel import create_mesh
+    if args.sp_shards > 1:
+        n = jax.device_count()
+        if n % args.sp_shards:
+            raise ValueError(f"--sp-shards {args.sp_shards} must divide "
+                             f"device count {n}")
+        mesh = create_mesh((n // args.sp_shards, args.sp_shards), ("data", "sp"))
+    else:
+        mesh = common.maybe_mesh(args)
     train_pggan_ladder(cfg, source_factory, mesh=mesh)
 
 

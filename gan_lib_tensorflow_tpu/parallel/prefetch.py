@@ -22,6 +22,7 @@ def prefetch_to_device(
     mesh: Optional[Mesh] = None,
     depth: int = 2,
     leading_stack_dims: int = 0,
+    spatial_axis=None,
 ) -> Iterator[Any]:
     """Yield device-resident batches with ``depth`` transfers in flight.
 
@@ -32,7 +33,8 @@ def prefetch_to_device(
 
     def put(batch):
         if mesh is not None:
-            return shard_batch(batch, mesh, leading_stack_dims=leading_stack_dims)
+            return shard_batch(batch, mesh, leading_stack_dims=leading_stack_dims,
+                               spatial_axis=spatial_axis)
         return jax.device_put(batch)
 
     for batch in it:

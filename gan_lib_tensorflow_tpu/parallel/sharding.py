@@ -18,15 +18,25 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data",
-                leading_stack_dims: int = 0) -> Any:
+                leading_stack_dims: int = 0,
+                spatial_axis: Optional[str] = None) -> Any:
     """Device-put a host batch pytree with the batch dim sharded over 'data'.
 
     ``leading_stack_dims``: number of leading microbatch-stack dims before the
     batch dim (the fused n_critic step takes [n_micro, B, ...] stacks — the
     stack dim is replicated, B shards).
+
+    ``spatial_axis``: additionally shard the image HEIGHT dim of NHWC image
+    leaves over this mesh axis — GSPMD spatial partitioning. XLA inserts the
+    halo exchanges that 3x3/5x5 convs need at shard edges (the conv-world
+    analog of sequence/context parallelism; used by PGGAN at high resolution
+    where the per-chip batch is too small for pure DP — SURVEY.md §2.3).
     """
     def put(x):
-        spec = P(*([None] * leading_stack_dims + [batch_axis]))
+        dims = [None] * leading_stack_dims + [batch_axis]
+        if spatial_axis is not None and x.ndim >= leading_stack_dims + 4:
+            dims.append(spatial_axis)
+        spec = P(*dims)
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, batch)
 

@@ -48,6 +48,7 @@ def train_loop(
     ckpt: Optional[CheckpointManager] = None,
     logger: Optional[ScalarLogger] = None,
     alpha_fn: Optional[Callable[[int], float]] = None,
+    spatial_axis: Optional[str] = None,
 ) -> GANTrainState:
     logger = logger or ScalarLogger(config.out_dir, curves=config.curves)
 
@@ -64,7 +65,8 @@ def train_loop(
         batches = iter(source)
     else:
         batches = prefetch_to_device(
-            microbatch_stack(source, n_micro), mesh, leading_stack_dims=1)
+            microbatch_stack(source, n_micro), mesh, leading_stack_dims=1,
+            spatial_axis=spatial_axis)
 
     metrics = None
     for step, batch in zip(range(start_step, config.total_steps), batches):

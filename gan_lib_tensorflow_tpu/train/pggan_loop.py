@@ -55,6 +55,9 @@ class LadderConfig:
     # Overrides for smoke tests: fixed step count per phase (None = derive
     # from images_per_phase / batch).
     steps_per_phase: Optional[int] = None
+    # Mesh axis name for GSPMD spatial partitioning of the image height dim
+    # (high-res levels where per-chip batch is too small for pure DP).
+    spatial_axis: Optional[str] = None
 
 
 def resolutions(cfg: LadderConfig):
@@ -111,7 +114,8 @@ def train_pggan_ladder(
             alpha_fn = ((lambda i, s=steps: min((i % s + 1) / s, 1.0))
                         if fade else (lambda i: 1.0))
 
-            step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+            step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh,
+                                     spatial_axis=cfg.spatial_axis)
             source = source_factory(res, batch)
 
             phase_dir = (os.path.join(cfg.out_dir, f"{res}x{res}_{phase}")
@@ -132,7 +136,8 @@ def train_pggan_ladder(
             ckpt = CheckpointManager(os.path.join(phase_dir, "ckpt")) if phase_dir else None
             state = train_loop(state, step_fn, source, spec.n_micro, loop_cfg,
                                mesh=mesh, sample_fn=sample_fn, ckpt=ckpt,
-                               logger=ScalarLogger(phase_dir), alpha_fn=alpha_fn)
+                               logger=ScalarLogger(phase_dir), alpha_fn=alpha_fn,
+                               spatial_axis=cfg.spatial_axis)
             if ckpt:
                 ckpt.close()
             prev = state

@@ -113,19 +113,27 @@ def jit_train_step(
     d_optim,
     mesh=None,
     batch_axis: str = "data",
+    spatial_axis: Optional[str] = None,
 ):
-    """Jit the fused step with state donated; under a mesh, batch shards over
-    'data' and the state replicates (XLA inserts the gradient psum)."""
-    step = make_train_step(spec, g_optim, d_optim)
+    """Jit the fused step with state donated.
+
+    Under a mesh, the caller lays out the batch (``parallel.shard_batch`` /
+    ``prefetch_to_device``): batch dim over 'data' (DP — XLA inserts the
+    gradient psum) and optionally image height over ``spatial_axis`` (GSPMD
+    spatial partitioning with automatic halo exchange — the high-res PGGAN
+    path). State is pinned replicated here; GSPMD propagates the rest.
+    """
+    step = jax.jit(make_train_step(spec, g_optim, d_optim), donate_argnums=0)
     if mesh is None:
-        return jax.jit(step, donate_argnums=0)
+        return step
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P(None, batch_axis))
-    return jax.jit(
-        step,
-        donate_argnums=0,
-        in_shardings=(repl, batch_sh),
-        out_shardings=(repl, repl),
-    )
+
+    def wrapped(state, batch):
+        # no-op when already laid out (device_put short-circuits on matching
+        # shardings), so this only costs on the first call / after restore
+        state = jax.device_put(state, repl)
+        return step(state, batch)
+
+    return wrapped
