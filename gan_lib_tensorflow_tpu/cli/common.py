@@ -34,7 +34,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--trace-steps", type=int, default=0,
                    help="capture an XLA profile for N steps")
     p.add_argument("--fault-inject-step", type=int, default=0)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans for NaN provenance (slow; "
+                        "SURVEY.md §5 race/sanitizer row)")
     return p
+
+
+def configure(args) -> None:
+    """Apply global debug/runtime flags before building any computation."""
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
 
 def compute_dtype(args) -> Optional[jnp.dtype]:

@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--aux-weight", type=float, default=1.0)
     p.set_defaults(batch_size=100, steps=50_000)
     args = p.parse_args(argv)
+    common.configure(args)
 
     dtype = common.compute_dtype(args)
     g = acgan.ACGANGenerator(compute_dtype=dtype)

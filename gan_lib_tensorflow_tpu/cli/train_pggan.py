@@ -29,6 +29,7 @@ def main(argv=None):
                         "spatial partitioning for high-res levels)")
     p.set_defaults(lr=1e-3)
     args = p.parse_args(argv)
+    common.configure(args)
 
     cfg = LadderConfig(
         final_resolution=args.final_resolution,

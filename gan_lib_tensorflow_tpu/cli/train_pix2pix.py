@@ -71,6 +71,7 @@ def main(argv=None):
     p.add_argument("--max-test-images", type=int, default=64)
     p.set_defaults(batch_size=1, steps=40_000)
     args = p.parse_args(argv)
+    common.configure(args)
 
     g, d, spec, g_optim, d_optim, state = build(args)
     ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))

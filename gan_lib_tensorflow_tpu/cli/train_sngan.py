@@ -58,6 +58,7 @@ def main(argv=None):
                    help=">0 trains the conditional (projection-style) variant")
     p.add_argument("--ema-decay", type=float, default=0.9999)
     args = p.parse_args(argv)
+    common.configure(args)
 
     g, d, spec, g_optim, d_optim, state = build(args)
     mesh = common.maybe_mesh(args)

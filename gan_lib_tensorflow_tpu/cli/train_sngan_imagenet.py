@@ -14,8 +14,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import glob as glob_mod
+
 from .. import data as data_lib
 from ..models import sngan
+
+
+def glob_has_npz(path: str) -> bool:
+    return os.path.isdir(path) and bool(glob_mod.glob(os.path.join(path, "*.npz")))
+
 from ..train import (CheckpointManager, LoopConfig, create_state,
                      jit_train_step, train_loop)
 from ..utils import save_image_grid
@@ -33,6 +40,7 @@ def main(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.9999)
     p.set_defaults(steps=450_000)
     args = p.parse_args(argv)
+    common.configure(args)
 
     dtype = common.compute_dtype(args)
     g = sngan.imagenet128_generator(compute_dtype=dtype, num_classes=args.num_classes)
@@ -54,10 +62,17 @@ def main(argv=None):
 
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    # ImageNet loader: real 128x128 class-labeled folder is out of scope
-    # offline; synthetic backend keeps the full path exercisable.
-    source = data_lib.FakeImages(batch_size=args.batch_size, image_size=128,
-                                 num_classes=args.num_classes, seed=args.seed)
+    if args.data not in ("auto", "fake") and os.path.exists(args.data):
+        if args.data.endswith(".npz") or glob_has_npz(args.data):
+            source = data_lib.ImageNetNpz(args.data, batch_size=args.batch_size)
+        else:
+            source = data_lib.ImageFolderByClass(
+                args.data, batch_size=args.batch_size, image_size=128)
+        source = data_lib.ThreadedSource(source)
+    else:
+        source = data_lib.ThreadedSource(data_lib.FakeImages(
+            batch_size=args.batch_size, image_size=128,
+            num_classes=args.num_classes, seed=args.seed))
 
     sampler = sngan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

@@ -46,6 +46,7 @@ class PairedImageFolder(DataSource):
         self.seed = seed
 
     def _example(self, rng: np.random.Generator, path: str):
+        from . import native
         img = _load_image(path)
         w = img.shape[1] // 2
         a, b = img[:, :w], img[:, w:]
@@ -53,12 +54,11 @@ class PairedImageFolder(DataSource):
             a, b = b, a
         s, c = self.scale_size, self.image_size
         a, b = _resize(a, s, s), _resize(b, s, s)
-        oy, ox = rng.integers(0, s - c + 1, 2)
-        a, b = a[oy:oy + c, ox:ox + c], b[oy:oy + c, ox:ox + c]
-        if self.flip and rng.random() < 0.5:
-            a, b = a[:, ::-1], b[:, ::-1]
-        to_f = lambda x: (x.astype(np.float32) / 127.5) - 1.0
-        return to_f(a), to_f(b)
+        oy, ox = (int(v) for v in rng.integers(0, s - c + 1, 2))
+        flip = bool(self.flip and rng.random() < 0.5)
+        # fused crop+flip+normalize in the native tier (one pass over uint8)
+        return (native.crop_flip_normalize(a, oy, ox, c, flip),
+                native.crop_flip_normalize(b, oy, ox, c, flip))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)

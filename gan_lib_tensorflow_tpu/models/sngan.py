@@ -135,13 +135,40 @@ def make_sngan_spec(
     def _rand_labels(rng, n):
         return jax.random.randint(rng, (n,), 0, g_model.num_classes)
 
+    def prepare_d_batches(g_vars, d_batches, rng, alpha):
+        """Generate ALL critic-substep fakes in one vmapped G forward.
+
+        G params don't change during the critic loop, so this is exactly the
+        per-substep computation; vmap over the n_critic axis keeps BN batch
+        stats per-microbatch (reference semantics) while XLA batches the conv
+        work across substeps (~5x generator MXU utilization)."""
+        n_critic, n = jax.tree_util.tree_leaves(d_batches)[0].shape[:2]
+        rngs = jax.random.split(rng, n_critic)
+
+        def gen_one(r):
+            rz, rl = jax.random.split(r)
+            labels = _rand_labels(rl, n) if conditional else None
+            fake = _fake(g_vars, rz, n, labels)
+            return (fake, labels) if conditional else (fake, jnp.zeros((n,), jnp.int32))
+
+        fakes, fake_labels = jax.vmap(gen_one)(rngs)
+        out = dict(d_batches)
+        out["fake"] = jax.lax.stop_gradient(fakes)
+        if conditional:
+            out["fake_label"] = fake_labels
+        return out
+
     def d_loss(d_params, d_state, g_vars, batch, rng, alpha):
         imgs = batch["image"]
         n = imgs.shape[0]
         rng_z, rng_l = jax.random.split(rng)
         real_labels = batch.get("label") if conditional else None
-        fake_labels = _rand_labels(rng_l, n) if conditional else None
-        fake = jax.lax.stop_gradient(_fake(g_vars, rng_z, n, fake_labels))
+        if "fake" in batch:
+            fake = batch["fake"]
+            fake_labels = batch.get("fake_label") if conditional else None
+        else:
+            fake_labels = _rand_labels(rng_l, n) if conditional else None
+            fake = jax.lax.stop_gradient(_fake(g_vars, rng_z, n, fake_labels))
         d_vars = {"params": d_params, **d_state}
         # One D pass over [real; fake]: D is per-sample (SN only, no BN), so
         # this is mathematically identical to two passes but doubles the MXU
@@ -171,7 +198,8 @@ def make_sngan_spec(
         loss = hinge_g_loss(fake_logits)
         return loss, (dict(new_g_state), {})
 
-    return GANSpec(d_loss=d_loss, g_loss=g_loss, n_critic=n_critic,
+    return GANSpec(d_loss=d_loss, g_loss=g_loss,
+                   prepare_d_batches=prepare_d_batches, n_critic=n_critic,
                    shared_batch=True, ema_decay=ema_decay)
 
 

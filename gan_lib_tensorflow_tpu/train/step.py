@@ -36,6 +36,13 @@ class GANSpec:
 
     d_loss: LossFn
     g_loss: LossFn
+    # Optional hook run ONCE before the critic scan:
+    #   (g_vars, d_batches, rng, alpha) -> d_batches
+    # G params are constant across the n_critic substeps, so model families
+    # can precompute all fake microbatches in one big (vmapped) G forward —
+    # ~5x better generator MXU utilization than re-running G inside each
+    # substep, with identical math (see models.sngan).
+    prepare_d_batches: Optional[Callable] = None
     n_critic: int = 1
     # If True the G update consumes the same (last) microbatch as the final D
     # update (pix2pix/ACGAN/PGGAN); if False the stack carries one extra
@@ -60,6 +67,12 @@ def make_train_step(
         d_batches = jax.tree_util.tree_map(lambda x: x[: spec.n_critic], batch_stack)
         g_batch = jax.tree_util.tree_map(lambda x: x[-1], batch_stack)
         g_vars = {"params": state.g_params, **state.g_state}
+
+        prep_rng = None
+        if spec.prepare_d_batches is not None:
+            prep_rng = jax.random.fold_in(state.rng, 1)
+            d_batches = spec.prepare_d_batches(g_vars, d_batches, prep_rng,
+                                               state.alpha)
 
         def d_substep(carry, micro):
             d_params, d_state, d_opt, rng = carry
