@@ -31,6 +31,7 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 from ..losses import drift_penalty, gradient_penalty, wgan_d_loss, wgan_g_loss
 from ..ops import Conv, Dense, downsample_avg, minibatch_stddev, pixel_norm, upsample_nearest
+from ..ops.layers import UpsampleConv
 from ..train.step import GANSpec
 
 Dtype = Any
@@ -74,9 +75,9 @@ class PGGANGenerator(nn.Module):
         res = 8
         while res <= self.resolution:
             prev = h
-            h = upsample_nearest(h)
-            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                     name=f"block_{res}_conv1")(h)
+            # fused nearest-up2 + conv3x3 (ops.fused; param-compatible)
+            h = UpsampleConv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                             name=f"block_{res}_conv1")(h)
             h = pixel_norm(_lrelu(h))
             h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
                      name=f"block_{res}_conv2")(h)

@@ -20,7 +20,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Conv, downsample_avg, upsample_nearest
+from .layers import Conv, UpsampleConv, downsample_avg, upsample_nearest
 from .norms import BatchNorm, ConditionalBatchNorm
 
 Dtype = Any
@@ -56,17 +56,24 @@ class GenResBlock(nn.Module):
         h = bn(x, "bn1")
         h = nn.relu(h)
         if self.upsample:
-            h = upsample_nearest(h)
-        h = Conv(self.features, 3, compute_dtype=self.compute_dtype, name="conv1")(h)
+            # fused upsample+conv: no materialized 4x activation, ~2.25x MACs
+            h = UpsampleConv(self.features, 3, compute_dtype=self.compute_dtype,
+                             name="conv1")(h)
+        else:
+            h = Conv(self.features, 3, compute_dtype=self.compute_dtype,
+                     name="conv1")(h)
         h = bn(h, "bn2")
         h = nn.relu(h)
         h = Conv(self.features, 3, compute_dtype=self.compute_dtype, name="conv2")(h)
 
-        s = x
         if self.upsample:
-            s = upsample_nearest(s)
-        if needs_proj:
-            s = Conv(self.features, 1, compute_dtype=self.compute_dtype, name="conv_skip")(s)
+            s = UpsampleConv(self.features, 1, compute_dtype=self.compute_dtype,
+                             name="conv_skip")(x)
+        elif needs_proj:
+            s = Conv(self.features, 1, compute_dtype=self.compute_dtype,
+                     name="conv_skip")(x)
+        else:
+            s = x
         return h + s
 
 

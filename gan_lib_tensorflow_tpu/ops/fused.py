@@ -1,0 +1,51 @@
+"""Algebraically fused resize-convolutions.
+
+``conv_kxk(nearest_up2(x))`` — the G up-resblock's hot path in SNGAN and
+PGGAN — is computed directly from the low-res input as a stride-2 transposed
+conv with a derived (k+1)x(k+1) kernel:
+
+    K = sum over (dy, dx) in {0,1}^2 of w zero-padded by (dy, 1-dy, dx, 1-dx)
+
+(each upsampled pixel replicates its low-res source, so each K tap is the sum
+of the w taps that would have hit any of the 2x2 replicas). Verified
+numerically exact vs the composed form (tests/test_fused.py). Wins:
+
+* ~2.25x fewer MACs for 3x3 kernels (4 taps/output avg instead of 9)
+* the 4x-sized upsampled activation is never materialized in HBM
+
+This is the XLA-path fusion; Pallas is reserved for cases XLA cannot express
+(see ops/pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def fuse_up2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Derive the (k+1, k+1, I, O) transposed-conv kernel equivalent to
+    nearest-up2-then-conv with HWIO kernel ``w``."""
+    return (
+        jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        + jnp.pad(w, ((1, 0), (0, 1), (0, 0), (0, 0)))
+        + jnp.pad(w, ((0, 1), (1, 0), (0, 0), (0, 0)))
+        + jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    )
+
+
+def upsample2x_conv(x: jnp.ndarray, w: jnp.ndarray,
+                    compute_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+    """conv(nearest_up2(x), w) without materializing the upsample.
+
+    x: NHWC, w: HWIO (square, odd size). Output: [N, 2H, 2W, O], numerically
+    equal (up to dtype rounding) to the composed form with SAME padding.
+    """
+    K = fuse_up2_kernel(w)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        K = K.astype(compute_dtype)
+    return jax.lax.conv_transpose(
+        x, K, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -171,6 +171,52 @@ class ConvTranspose(nn.Module):
         return y
 
 
+class UpsampleConv(nn.Module):
+    """nearest-2x-upsample followed by conv, computed fused (see ops.fused).
+
+    Param-compatible with ``Conv`` ('kernel'/'bias' of the un-fused kxk conv),
+    so checkpoints are interchangeable with the composed form. Set
+    ``fused=False`` to fall back to explicit upsample-then-conv.
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    kernel_init: Initializer = initializers.he_normal
+    bias_init: Initializer = initializers.zeros
+    equalized: bool = False
+    lr_mul: float = 1.0
+    gain: float = float(np.sqrt(2.0))
+    fused: bool = True
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .fused import upsample2x_conv
+
+        ksize = (self.kernel_size,) * 2
+        in_c = x.shape[-1]
+        kshape = (*ksize, in_c, self.features)
+        kinit = initializers.unit_normal if self.equalized else self.kernel_init
+        kernel = self.param("kernel", kinit, kshape, jnp.float32)
+        if self.equalized:
+            kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
+        if self.fused:
+            y = upsample2x_conv(x, kernel, compute_dtype=self.compute_dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                _maybe_cast(upsample_nearest(x), self.compute_dtype),
+                _maybe_cast(kernel, self.compute_dtype),
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.equalized:
+                bias = bias * self.lr_mul
+            y = y + _maybe_cast(bias, self.compute_dtype)
+        return y
+
+
 class Embedding(nn.Module):
     """Label embedding (reference: ``common/ops/embedding.py``), optionally
     spectral-normalized — the projection discriminator SN-normalizes its class
