@@ -79,9 +79,11 @@ def main(argv=None):
     if args.mode == "train":
         mesh = common.maybe_mesh(args)
         step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-        source = paired_source(args)
+        base_source = paired_source(args)
+        fixed = next(iter(base_source))
+        # decode/jitter on worker threads (the reference's queue-runner role)
+        source = data_lib.ThreadedSource(base_source)
         translator = pix2pix.make_translator(g)
-        fixed = next(iter(source))
 
         def sample_fn(st, it):
             out = translator(pix2pix.generator_variables(st),
