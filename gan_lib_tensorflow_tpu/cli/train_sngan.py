@@ -57,6 +57,11 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=0,
                    help=">0 trains the conditional (projection-style) variant")
     p.add_argument("--ema-decay", type=float, default=0.9999)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="compute IS/FID every N steps (reference: periodic "
+                        "IS/FID pauses; offline uses the random-init "
+                        "InceptionV3 — relative trends only)")
+    p.add_argument("--eval-samples", type=int, default=5000)
     args = p.parse_args(argv)
     common.configure(args)
 
@@ -73,14 +78,39 @@ def main(argv=None):
         save_image_grid(jax.device_get(imgs),
                         os.path.join(args.out_dir, "samples", f"sample_{it:06d}.png"))
 
+    eval_fn = None
+    if args.eval_every:
+        from ..eval import MomentAccumulator, evaluate_generator
+        from ..eval.inception_v3 import InceptionV3Features
+        net = InceptionV3Features()
+        eval_bs = 100
+        real_src = iter(common.image_source(args, eval_bs, 32,
+                                            max(args.num_classes, 10)))
+        acc = MomentAccumulator(net.feature_dim)
+        for _ in range(max(args.eval_samples // eval_bs, 1)):
+            img = next(real_src)["image"]
+            img = jnp.asarray(img)
+            if img.ndim == 5:  # [n_micro, B, ...] stack sources
+                img = img[0]
+            feats, _ = net(img)
+            acc.update(jax.device_get(feats))
+        real_stats = acc.finalize()
+
+        def eval_fn(st, it):
+            return evaluate_generator(
+                lambda r: sampler(st, r, eval_bs), net, net.feature_dim,
+                n_samples=args.eval_samples, batch_size=eval_bs,
+                rng=jax.random.PRNGKey(args.seed + it), real_stats=real_stats)
+
     cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
                      sample_every=args.sample_every,
-                     checkpoint_every=args.ckpt_every, out_dir=args.out_dir,
+                     checkpoint_every=args.ckpt_every,
+                     eval_every=args.eval_every, out_dir=args.out_dir,
                      curves=args.curves, trace_steps=args.trace_steps,
                      fault_inject_step=args.fault_inject_step)
     ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
     train_loop(state, step_fn, source, spec.n_micro, cfg, mesh=mesh,
-               sample_fn=sample_fn, ckpt=ckpt)
+               sample_fn=sample_fn, ckpt=ckpt, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ class LoopConfig:
     log_every: int = 100
     sample_every: int = 1000
     checkpoint_every: int = 5000
+    eval_every: int = 0              # 0 = no periodic eval
     out_dir: Optional[str] = None
     curves: bool = False
     trace_dir: Optional[str] = None
@@ -49,6 +50,7 @@ def train_loop(
     logger: Optional[ScalarLogger] = None,
     alpha_fn: Optional[Callable[[int], float]] = None,
     spatial_axis: Optional[str] = None,
+    eval_fn: Optional[Callable[[GANTrainState, int], dict]] = None,
 ) -> GANTrainState:
     logger = logger or ScalarLogger(config.out_dir, curves=config.curves)
 
@@ -93,6 +95,11 @@ def train_loop(
             logger.flush(it)
         if sample_fn is not None and (it % config.sample_every == 0 or it == config.total_steps):
             sample_fn(state, it)
+        if (eval_fn is not None and config.eval_every
+                and (it % config.eval_every == 0 or it == config.total_steps)):
+            # periodic IS/FID pause, like the reference's every-N-iter eval
+            scores = eval_fn(state, it)
+            logger.flush(it, extra=scores)
         if ckpt is not None and (it % config.checkpoint_every == 0 or it == config.total_steps):
             ckpt.save(it, state)
 

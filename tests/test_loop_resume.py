@@ -1,0 +1,54 @@
+"""Train-loop behaviors: fault injection crashes at the requested step and a
+fresh loop auto-resumes from the checkpoint (SURVEY.md §5 failure-detection
+row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gan_lib_tensorflow_tpu import data, train
+from gan_lib_tensorflow_tpu.models import sngan
+
+
+def _setup():
+    g = sngan.ResNetGenerator(channels=(8,), bottom_ch=8, z_dim=4)
+    d = sngan.ResNetDiscriminator(channels=(8, 8), downsample=(True, False))
+    spec = sngan.make_sngan_spec(g, d, n_critic=1)
+    g_optim = optax.adam(1e-3)
+    d_optim = optax.adam(1e-3)
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, 4)), train=False),
+        lambda r: d.init(r, jnp.zeros((2, 8, 8, 3))),
+        g_optim, d_optim)
+    step_fn = train.jit_train_step(spec, g_optim, d_optim)
+    src = data.FakeImages(batch_size=4, image_size=8, seed=0)
+    return spec, state, step_fn, src
+
+
+def test_fault_injection_then_auto_resume(tmp_path):
+    spec, state, step_fn, src = _setup()
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    cfg = train.LoopConfig(total_steps=10, log_every=100, sample_every=10**9,
+                           checkpoint_every=3, out_dir=None,
+                           fault_inject_step=5)
+    ckpt = train.CheckpointManager(ckpt_dir)
+    with pytest.raises(RuntimeError, match="fault injected"):
+        train.train_loop(state, step_fn, src, spec.n_micro, cfg, ckpt=ckpt)
+    ckpt.wait()
+    assert ckpt.latest_step() == 3  # step-3 checkpoint survived the crash
+    ckpt.close()
+
+    # a fresh process/loop resumes from the checkpoint and finishes
+    spec2, state2, step_fn2, src2 = _setup()
+    cfg2 = train.LoopConfig(total_steps=10, log_every=100, sample_every=10**9,
+                            checkpoint_every=3, out_dir=None)
+    ckpt2 = train.CheckpointManager(ckpt_dir)
+    final = train.train_loop(state2, step_fn2, src2, spec2.n_micro, cfg2,
+                             ckpt=ckpt2)
+    assert int(final.step) == 10
+    assert ckpt2.latest_step() == 10
+    ckpt2.close()
