@@ -28,7 +28,10 @@ def build(args):
     d = sngan.cifar_discriminator(compute_dtype=dtype, num_classes=args.num_classes)
     spec = sngan.make_sngan_spec(g, d, n_critic=args.n_critic,
                                  ema_decay=args.ema_decay)
-    sched = optax.linear_schedule(args.lr, 0.0, args.steps)
+    # decay horizon defaults to the full planned run (reference: linear decay
+    # over 100k G steps); decouple for short smoke runs
+    sched = optax.linear_schedule(args.lr, 0.0,
+                                  args.lr_decay_steps or args.steps)
     g_optim = optax.adam(sched, b1=args.beta1, b2=args.beta2)
     d_optim = optax.adam(sched, b1=args.beta1, b2=args.beta2)
 
@@ -62,6 +65,8 @@ def main(argv=None):
                         "IS/FID pauses; offline uses the random-init "
                         "InceptionV3 — relative trends only)")
     p.add_argument("--eval-samples", type=int, default=5000)
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="linear-decay horizon (0 = --steps)")
     args = p.parse_args(argv)
     common.configure(args)
 

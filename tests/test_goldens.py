@@ -1,0 +1,69 @@
+"""Fixed-PRNG forward goldens for every model family (SURVEY.md §4: regression
+guards, not TF1 parity — exact TF1 RNG parity is unattainable; parity is
+distributional). Recorded on CPU float32 with highest matmul precision
+(tests/conftest.py); loose tolerances absorb compiler-version drift while
+still catching real numeric changes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_lib_tensorflow_tpu.models import acgan, pggan, pix2pix, sngan
+
+# (mean, std) of the forward output at fixed seeds, recorded 2026-08-16.
+GOLDENS = {
+    "sngan_g": (-0.145901, 0.565859),
+    "sngan_d": (-18.63792, 1.245726),
+    "acgan_g": (0.051591, 0.386537),
+    "pggan_g": (-0.033609, 0.69184),
+    "pggan_d": (0.616489, 0.083662),
+    "unet_g": (0.086939, 0.481073),
+}
+
+
+def _check(name, arr, rtol=2e-3):
+    mean, std = GOLDENS[name]
+    arr = np.asarray(arr, np.float64)
+    np.testing.assert_allclose(arr.mean(), mean, rtol=rtol, atol=1e-4,
+                               err_msg=f"{name} mean drifted")
+    np.testing.assert_allclose(arr.std(), std, rtol=rtol, atol=1e-4,
+                               err_msg=f"{name} std drifted")
+
+
+def test_sngan_goldens():
+    g = sngan.ResNetGenerator(channels=(16, 16), bottom_ch=16, z_dim=8)
+    z = jax.random.normal(jax.random.PRNGKey(42), (4, 8))
+    y, _ = g.init_with_output(jax.random.PRNGKey(7), z, train=True)
+    _check("sngan_g", y)
+    d = sngan.ResNetDiscriminator(channels=(16, 16), downsample=(True, False))
+    x = jax.random.normal(jax.random.PRNGKey(43), (4, 16, 16, 3))
+    logits, _ = d.init_with_output(jax.random.PRNGKey(8), x)
+    _check("sngan_d", logits)
+
+
+def test_acgan_golden():
+    g = acgan.ACGANGenerator(base_ch=32, z_dim=16)
+    z = jax.random.normal(jax.random.PRNGKey(44), (4, 16))
+    y, _ = g.init_with_output(jax.random.PRNGKey(9), z, jnp.arange(4), train=True)
+    _check("acgan_g", y)
+
+
+def test_pggan_goldens():
+    g = pggan.PGGANGenerator(resolution=16, fade_in=True, z_dim=16, width_mul=1 / 32)
+    z = jax.random.normal(jax.random.PRNGKey(45), (4, 16))
+    y, _ = g.init_with_output(jax.random.PRNGKey(10), z, 0.5)
+    _check("pggan_g", y)
+    d = pggan.PGGANDiscriminator(resolution=16, fade_in=True, width_mul=1 / 32,
+                                 mbstd_group_size=2)
+    logits, _ = d.init_with_output(jax.random.PRNGKey(11), y, 0.5)
+    _check("pggan_d", logits)
+
+
+def test_unet_golden():
+    g = pix2pix.UNetGenerator(base_ch=4)
+    x = jax.random.normal(jax.random.PRNGKey(46), (1, 64, 64, 3))
+    y, _ = g.init_with_output(
+        {"params": jax.random.PRNGKey(12), "dropout": jax.random.PRNGKey(13)},
+        x, train=True)
+    _check("unet_g", y)
