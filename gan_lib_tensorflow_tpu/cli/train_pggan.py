@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--z-dim", type=int, default=512)
     p.add_argument("--steps-per-phase", type=int, default=0,
                    help="override phase length in steps (smoke runs)")
+    p.add_argument("--remat-from", type=int, default=512,
+                   help="rematerialize convs at resolutions >= this (0=off)")
     p.add_argument("--sp-shards", type=int, default=1,
                    help="shard image height over this many chips (GSPMD "
                         "spatial partitioning for high-res levels)")
@@ -39,7 +41,8 @@ def main(argv=None):
         out_dir=args.out_dir, log_every=args.log_every,
         sample_every=args.sample_every, checkpoint_every=args.ckpt_every,
         steps_per_phase=args.steps_per_phase or None,
-        spatial_axis="sp" if args.sp_shards > 1 else None)
+        spatial_axis="sp" if args.sp_shards > 1 else None,
+        remat_from_resolution=args.remat_from)
 
     if args.data not in ("auto", "fake") :
         raise NotImplementedError(

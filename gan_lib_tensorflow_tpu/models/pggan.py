@@ -55,6 +55,7 @@ class PGGANGenerator(nn.Module):
     fade_in: bool = False           # transition phase: blend prev-level RGB
     z_dim: int = 512
     width_mul: float = 1.0          # shrink for tests
+    remat: bool = False             # rematerialize convs (1024^2 memory)
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -62,6 +63,10 @@ class PGGANGenerator(nn.Module):
         del train  # no BN anywhere — pixelnorm is stateless
         wm = self.width_mul
         dt = self.compute_dtype
+        # nn.remat preserves the param structure, so migration/checkpoints
+        # are unaffected by toggling it between phases
+        Conv_ = nn.remat(Conv) if self.remat else Conv
+        Up_ = nn.remat(UpsampleConv) if self.remat else UpsampleConv
 
         h = pixel_norm(z[:, None, None, :])  # normalize latents (Karras §4.2)
         h = Dense(4 * 4 * nf(4, wm), equalized=True,
@@ -76,11 +81,11 @@ class PGGANGenerator(nn.Module):
         while res <= self.resolution:
             prev = h
             # fused nearest-up2 + conv3x3 (ops.fused; param-compatible)
-            h = UpsampleConv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                             name=f"block_{res}_conv1")(h)
+            h = Up_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                    name=f"block_{res}_conv1")(h)
             h = pixel_norm(_lrelu(h))
-            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                     name=f"block_{res}_conv2")(h)
+            h = Conv_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                      name=f"block_{res}_conv2")(h)
             h = pixel_norm(_lrelu(h))
             res *= 2
 
@@ -99,12 +104,14 @@ class PGGANDiscriminator(nn.Module):
     fade_in: bool = False
     width_mul: float = 1.0
     mbstd_group_size: int = 4
+    remat: bool = False
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, alpha=1.0):
         wm = self.width_mul
         dt = self.compute_dtype
+        Conv_ = nn.remat(Conv) if self.remat else Conv
 
         h = Conv(nf(self.resolution, wm), 1, equalized=True, compute_dtype=dt,
                  name=f"fromrgb_{self.resolution}")(x)
@@ -113,11 +120,11 @@ class PGGANDiscriminator(nn.Module):
         res = self.resolution
         first = True
         while res > 4:
-            h = Conv(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                     name=f"block_{res}_conv1")(h)
+            h = Conv_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
+                      name=f"block_{res}_conv1")(h)
             h = _lrelu(h)
-            h = Conv(nf(res // 2, wm), 3, equalized=True, compute_dtype=dt,
-                     name=f"block_{res}_conv2")(h)
+            h = Conv_(nf(res // 2, wm), 3, equalized=True, compute_dtype=dt,
+                      name=f"block_{res}_conv2")(h)
             h = _lrelu(h)
             h = downsample_avg(h)
             if first and self.fade_in:

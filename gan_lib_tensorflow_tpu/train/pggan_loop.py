@@ -58,6 +58,9 @@ class LadderConfig:
     # Mesh axis name for GSPMD spatial partitioning of the image height dim
     # (high-res levels where per-chip batch is too small for pure DP).
     spatial_axis: Optional[str] = None
+    # Rematerialize convs from this resolution upward (0 = never); trades
+    # FLOPs for activation memory at 512/1024 (SURVEY.md §7 hard part #3).
+    remat_from_resolution: int = 0
 
 
 def resolutions(cfg: LadderConfig):
@@ -84,11 +87,14 @@ def train_pggan_ladder(
                   else ["transition", "stabilize"])
         for phase in phases:
             fade = phase == "transition"
+            remat = bool(cfg.remat_from_resolution
+                         and res >= cfg.remat_from_resolution)
             g = pggan.PGGANGenerator(resolution=res, fade_in=fade,
                                      z_dim=cfg.z_dim, width_mul=cfg.width_mul,
+                                     remat=remat,
                                      compute_dtype=cfg.compute_dtype)
             d = pggan.PGGANDiscriminator(resolution=res, fade_in=fade,
-                                         width_mul=cfg.width_mul,
+                                         width_mul=cfg.width_mul, remat=remat,
                                          compute_dtype=cfg.compute_dtype)
             spec = pggan.make_pggan_spec(g, d, ema_decay=cfg.ema_decay)
             g_optim = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
