@@ -50,12 +50,51 @@ def _lrelu(x):
     return nn.leaky_relu(x, 0.2)
 
 
+class _GenBlock(nn.Module):
+    """One G level: fused up2+conv3x3 -> PN -> conv3x3 -> PN. Remat boundary:
+    wrapping THIS module stores only the level-boundary activation (the
+    dominant 1024^2-scale tensors inside recompute in backward)."""
+
+    features: int
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h):
+        h = UpsampleConv(self.features, 3, equalized=True,
+                         compute_dtype=self.compute_dtype, name="conv1")(h)
+        h = pixel_norm(_lrelu(h))
+        h = Conv(self.features, 3, equalized=True,
+                 compute_dtype=self.compute_dtype, name="conv2")(h)
+        return pixel_norm(_lrelu(h))
+
+
+class _DiscBlock(nn.Module):
+    """One D level: conv3x3 -> conv3x3 (channel step) -> avg-pool."""
+
+    features1: int
+    features2: int
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h):
+        h = Conv(self.features1, 3, equalized=True,
+                 compute_dtype=self.compute_dtype, name="conv1")(h)
+        h = _lrelu(h)
+        h = Conv(self.features2, 3, equalized=True,
+                 compute_dtype=self.compute_dtype, name="conv2")(h)
+        h = _lrelu(h)
+        return downsample_avg(h)
+
+
 class PGGANGenerator(nn.Module):
     resolution: int = 1024          # output resolution of THIS stage
     fade_in: bool = False           # transition phase: blend prev-level RGB
     z_dim: int = 512
     width_mul: float = 1.0          # shrink for tests
-    remat: bool = False             # rematerialize convs (1024^2 memory)
+    # rematerialize whole per-level blocks at resolutions >= this (0 = never):
+    # only level-boundary activations are stored, trading recompute FLOPs for
+    # the 512/1024-level memory. Toggling does not change param structure.
+    remat_from: int = 0
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -63,10 +102,6 @@ class PGGANGenerator(nn.Module):
         del train  # no BN anywhere — pixelnorm is stateless
         wm = self.width_mul
         dt = self.compute_dtype
-        # nn.remat preserves the param structure, so migration/checkpoints
-        # are unaffected by toggling it between phases
-        Conv_ = nn.remat(Conv) if self.remat else Conv
-        Up_ = nn.remat(UpsampleConv) if self.remat else UpsampleConv
 
         h = pixel_norm(z[:, None, None, :])  # normalize latents (Karras §4.2)
         h = Dense(4 * 4 * nf(4, wm), equalized=True,
@@ -80,13 +115,10 @@ class PGGANGenerator(nn.Module):
         res = 8
         while res <= self.resolution:
             prev = h
-            # fused nearest-up2 + conv3x3 (ops.fused; param-compatible)
-            h = Up_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                    name=f"block_{res}_conv1")(h)
-            h = pixel_norm(_lrelu(h))
-            h = Conv_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                      name=f"block_{res}_conv2")(h)
-            h = pixel_norm(_lrelu(h))
+            Block = (nn.remat(_GenBlock)
+                     if self.remat_from and res >= self.remat_from
+                     else _GenBlock)
+            h = Block(nf(res, wm), dt, name=f"block_{res}")(h)
             res *= 2
 
         rgb = Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
@@ -104,14 +136,13 @@ class PGGANDiscriminator(nn.Module):
     fade_in: bool = False
     width_mul: float = 1.0
     mbstd_group_size: int = 4
-    remat: bool = False
+    remat_from: int = 0             # see PGGANGenerator.remat_from
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, alpha=1.0):
         wm = self.width_mul
         dt = self.compute_dtype
-        Conv_ = nn.remat(Conv) if self.remat else Conv
 
         h = Conv(nf(self.resolution, wm), 1, equalized=True, compute_dtype=dt,
                  name=f"fromrgb_{self.resolution}")(x)
@@ -120,13 +151,11 @@ class PGGANDiscriminator(nn.Module):
         res = self.resolution
         first = True
         while res > 4:
-            h = Conv_(nf(res, wm), 3, equalized=True, compute_dtype=dt,
-                      name=f"block_{res}_conv1")(h)
-            h = _lrelu(h)
-            h = Conv_(nf(res // 2, wm), 3, equalized=True, compute_dtype=dt,
-                      name=f"block_{res}_conv2")(h)
-            h = _lrelu(h)
-            h = downsample_avg(h)
+            Block = (nn.remat(_DiscBlock)
+                     if self.remat_from and res >= self.remat_from
+                     else _DiscBlock)
+            h = Block(nf(res, wm), nf(res // 2, wm), dt,
+                      name=f"block_{res}")(h)
             if first and self.fade_in:
                 skip = Conv(nf(res // 2, wm), 1, equalized=True, compute_dtype=dt,
                             name=f"fromrgb_{res // 2}")(downsample_avg(x))

@@ -87,14 +87,13 @@ def train_pggan_ladder(
                   else ["transition", "stabilize"])
         for phase in phases:
             fade = phase == "transition"
-            remat = bool(cfg.remat_from_resolution
-                         and res >= cfg.remat_from_resolution)
             g = pggan.PGGANGenerator(resolution=res, fade_in=fade,
                                      z_dim=cfg.z_dim, width_mul=cfg.width_mul,
-                                     remat=remat,
+                                     remat_from=cfg.remat_from_resolution,
                                      compute_dtype=cfg.compute_dtype)
             d = pggan.PGGANDiscriminator(resolution=res, fade_in=fade,
-                                         width_mul=cfg.width_mul, remat=remat,
+                                         width_mul=cfg.width_mul,
+                                         remat_from=cfg.remat_from_resolution,
                                          compute_dtype=cfg.compute_dtype)
             spec = pggan.make_pggan_spec(g, d, ema_decay=cfg.ema_decay)
             g_optim = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
@@ -126,7 +125,10 @@ def train_pggan_ladder(
 
             phase_dir = (os.path.join(cfg.out_dir, f"{res}x{res}_{phase}")
                          if cfg.out_dir else None)
-            sampler = pggan.make_sampler(g)
+            g_sample = pggan.PGGANGenerator(
+                resolution=res, fade_in=fade, z_dim=cfg.z_dim,
+                width_mul=cfg.width_mul, compute_dtype=cfg.compute_dtype)
+            sampler = pggan.make_sampler(g_sample)
             sample_rng = jax.random.PRNGKey(cfg.seed + 99)
 
             def sample_fn(st, it, _dir=phase_dir, _s=sampler):

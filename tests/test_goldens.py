@@ -11,13 +11,13 @@ import pytest
 
 from gan_lib_tensorflow_tpu.models import acgan, pggan, pix2pix, sngan
 
-# (mean, std) of the forward output at fixed seeds, recorded 2026-08-16.
+# (mean, std) of the forward output at fixed seeds, recorded 2026-08-16 (pggan re-recorded after the block-submodule restructure changed init RNG folding).
 GOLDENS = {
     "sngan_g": (-0.145901, 0.565859),
     "sngan_d": (-18.63792, 1.245726),
     "acgan_g": (0.051591, 0.386537),
-    "pggan_g": (-0.033609, 0.69184),
-    "pggan_d": (0.616489, 0.083662),
+    "pggan_g": (-0.067347, 0.590629),
+    "pggan_d": (0.886208, 0.082662),
     "unet_g": (0.086939, 0.481073),
 }
 

@@ -97,10 +97,10 @@ def test_pggan_migration_preserves_trunk_bitwise():
     # trunk (dense_4, conv_4, block_8) + torgb_8 all carried over
     assert copied >= 8
     np.testing.assert_array_equal(
-        np.asarray(merged["block_8_conv1"]["kernel"]),
-        np.asarray(p_small["block_8_conv1"]["kernel"]))
+        np.asarray(merged["block_8"]["conv1"]["kernel"]),
+        np.asarray(p_small["block_8"]["conv1"]["kernel"]))
     np.testing.assert_array_equal(
         np.asarray(merged["torgb_8"]["kernel"]),
         np.asarray(p_small["torgb_8"]["kernel"]))
     # new level keeps its fresh init
-    assert "block_16_conv1" in merged
+    assert "block_16" in merged

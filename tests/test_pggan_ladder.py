@@ -25,7 +25,7 @@ def test_tiny_ladder_runs_and_grows():
     assert int(state.step) == 2
     assert float(state.alpha) == 1.0
     # trunk + new-level params both present
-    assert "block_8_conv1" in state.g_params
+    assert "block_8" in state.g_params
     assert "dense_4" in state.g_params
     import jax
     for leaf in jax.tree_util.tree_leaves(state.g_params):

@@ -13,8 +13,8 @@ def test_remat_parity_forward_and_gp_grad():
     z = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
 
-    g0 = pggan.PGGANGenerator(resolution=16, z_dim=16, width_mul=1 / 32, remat=False)
-    g1 = pggan.PGGANGenerator(resolution=16, z_dim=16, width_mul=1 / 32, remat=True)
+    g0 = pggan.PGGANGenerator(resolution=16, z_dim=16, width_mul=1 / 32)
+    g1 = pggan.PGGANGenerator(resolution=16, z_dim=16, width_mul=1 / 32, remat_from=8)
     v = g0.init(jax.random.PRNGKey(2), z, 1.0)
     # identical param structure: remat variant runs with the same variables
     y0 = g0.apply(v, z, 1.0)
@@ -22,9 +22,9 @@ def test_remat_parity_forward_and_gp_grad():
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-6)
 
     d0 = pggan.PGGANDiscriminator(resolution=16, width_mul=1 / 32,
-                                  mbstd_group_size=2, remat=False)
+                                  mbstd_group_size=2)
     d1 = pggan.PGGANDiscriminator(resolution=16, width_mul=1 / 32,
-                                  mbstd_group_size=2, remat=True)
+                                  mbstd_group_size=2, remat_from=8)
     dv = d0.init(jax.random.PRNGKey(3), x, 1.0)
 
     def gp(model):
