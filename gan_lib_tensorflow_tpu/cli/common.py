@@ -31,6 +31,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no-mesh", action="store_true",
                    help="disable the data-parallel mesh even with >1 device")
     p.add_argument("--curves", action="store_true", help="write metric curve PNGs")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TB scalars (reference pix2pix parity)")
     p.add_argument("--trace-steps", type=int, default=0,
                    help="capture an XLA profile for N steps")
     p.add_argument("--fault-inject-step", type=int, default=0)

@@ -95,7 +95,8 @@ def main(argv=None):
         cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
                          sample_every=args.sample_every,
                          checkpoint_every=args.ckpt_every, out_dir=args.out_dir,
-                         curves=args.curves, trace_steps=args.trace_steps,
+                         curves=args.curves, tensorboard=args.tensorboard,
+                     trace_steps=args.trace_steps,
                          fault_inject_step=args.fault_inject_step)
         train_loop(state, step_fn, source, spec.n_micro, cfg, mesh=mesh,
                    sample_fn=sample_fn, ckpt=ckpt)

@@ -33,6 +33,7 @@ class LoopConfig:
     eval_every: int = 0              # 0 = no periodic eval
     out_dir: Optional[str] = None
     curves: bool = False
+    tensorboard: bool = False
     trace_dir: Optional[str] = None
     trace_steps: int = 0             # capture a trace for steps [10, 10+n)
     fault_inject_step: int = 0       # crash at this step (resume testing)
@@ -52,7 +53,8 @@ def train_loop(
     spatial_axis: Optional[str] = None,
     eval_fn: Optional[Callable[[GANTrainState, int], dict]] = None,
 ) -> GANTrainState:
-    logger = logger or ScalarLogger(config.out_dir, curves=config.curves)
+    logger = logger or ScalarLogger(config.out_dir, curves=config.curves,
+                                    tensorboard=config.tensorboard)
 
     if ckpt is not None:
         restored = ckpt.restore_latest(state)

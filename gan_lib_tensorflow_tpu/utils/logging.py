@@ -18,7 +18,8 @@ from typing import Dict, Optional
 
 
 class ScalarLogger:
-    def __init__(self, out_dir: Optional[str] = None, curves: bool = False):
+    def __init__(self, out_dir: Optional[str] = None, curves: bool = False,
+                 tensorboard: bool = False):
         self.out_dir = out_dir
         self.curves = curves
         if out_dir:
@@ -27,6 +28,15 @@ class ScalarLogger:
         self._history: Dict[str, list] = collections.defaultdict(list)
         self._t_last: Optional[float] = None
         self._step_last = 0
+        self._tb = None
+        if tensorboard and out_dir:
+            # optional TB scalars (the reference pix2pix writes tf.summary);
+            # torch's SummaryWriter works without TensorFlow
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+            except Exception as e:  # pragma: no cover
+                print(f"tensorboard logging unavailable: {e}", flush=True)
 
     def log(self, step: int, metrics: Dict[str, object]) -> None:
         for k, v in metrics.items():
@@ -47,6 +57,10 @@ class ScalarLogger:
                 f.write(json.dumps({"step": step, **means}) + "\n")
         for k, v in means.items():
             self._history[k].append((step, v))
+            if self._tb is not None:
+                self._tb.add_scalar(k, v, step)
+        if self._tb is not None:
+            self._tb.flush()
         self._since_flush.clear()
         if self.curves and self.out_dir:
             self._write_curves()
