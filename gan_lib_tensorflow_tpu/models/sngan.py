@@ -74,6 +74,12 @@ class ResNetDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, labels=None, *, update_sn: bool = False):
+        if len(self.channels) != len(self.downsample):
+            raise ValueError(
+                f"channels ({len(self.channels)}) and downsample "
+                f"({len(self.downsample)}) must have equal length")
+        # the input block always downsamples (reference OptimizedBlock);
+        # downsample[0] exists only to keep the tuples aligned
         h = DiscOptimizedBlock(self.channels[0], compute_dtype=self.compute_dtype,
                                name="block0")(x, update_sn=update_sn)
         for i, (ch, down) in enumerate(zip(self.channels[1:], self.downsample[1:])):
@@ -162,6 +168,9 @@ def make_sngan_spec(
         imgs = batch["image"]
         n = imgs.shape[0]
         rng_z, rng_l = jax.random.split(rng)
+        if conditional and "label" not in batch:
+            raise ValueError("conditional SNGAN needs a 'label' key in the "
+                             "data batch (class-labeled source)")
         real_labels = batch.get("label") if conditional else None
         if "fake" in batch:
             fake = batch["fake"]

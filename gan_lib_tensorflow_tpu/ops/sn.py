@@ -38,6 +38,8 @@ def power_iteration(w_mat: jnp.ndarray, u: jnp.ndarray, n_iters: int = 1):
     Returns ``(sigma, u_new)`` where ``sigma`` is the top-singular-value
     estimate. u and v are stop-gradiented: d(sigma)/dW = u v^T only.
     """
+    if n_iters < 1:
+        raise ValueError(f"power_iteration needs n_iters >= 1, got {n_iters}")
     v = None
     for _ in range(n_iters):
         v = _l2_normalize(u @ w_mat.T)  # [1, fan_in]

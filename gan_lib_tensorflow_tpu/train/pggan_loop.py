@@ -119,8 +119,7 @@ def train_pggan_ladder(
             alpha_fn = ((lambda i, s=steps: min((i % s + 1) / s, 1.0))
                         if fade else (lambda i: 1.0))
 
-            step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh,
-                                     spatial_axis=cfg.spatial_axis)
+            step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
             source = source_factory(res, batch)
 
             phase_dir = (os.path.join(cfg.out_dir, f"{res}x{res}_{phase}")

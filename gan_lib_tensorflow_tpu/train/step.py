@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .state import GANTrainState
+from .state import GANTrainState, g_variables
 
 # d_loss / g_loss signature:
 #   (params, model_state, other_net_variables, batch, rng, alpha)
@@ -45,9 +45,9 @@ class GANSpec:
     prepare_d_batches: Optional[Callable] = None
     n_critic: int = 1
     # If True the G update consumes the same (last) microbatch as the final D
-    # update (pix2pix/ACGAN/PGGAN); if False the stack carries one extra
-    # microbatch for G (SNGAN never feeds reals to G, but conditional variants
-    # draw labels from it).
+    # update (all current families; conditional variants sample fresh labels
+    # rather than reading them from a batch); if False the stack carries one
+    # extra microbatch reserved for G losses that need real data of their own.
     shared_batch: bool = True
     ema_decay: float = 0.0
 
@@ -64,9 +64,19 @@ def make_train_step(
     """Build the fused step: (state, batch_stack) -> (state, metrics)."""
 
     def train_step(state: GANTrainState, batch_stack: Any):
+        for leaf in jax.tree_util.tree_leaves(batch_stack):
+            if leaf.shape[0] != spec.n_micro:
+                raise ValueError(
+                    f"batch_stack leaves must be [n_micro={spec.n_micro}, B, ...] "
+                    f"stacks (see data.microbatch_stack); got leading dim "
+                    f"{leaf.shape[0]} in shape {leaf.shape}")
+        if spec.ema_decay > 0 and state.ema_params is None:
+            raise ValueError(
+                "spec.ema_decay > 0 but state.ema_params is None — pass "
+                "ema_decay to create_state() as well")
         d_batches = jax.tree_util.tree_map(lambda x: x[: spec.n_critic], batch_stack)
         g_batch = jax.tree_util.tree_map(lambda x: x[-1], batch_stack)
-        g_vars = {"params": state.g_params, **state.g_state}
+        g_vars = g_variables(state)
 
         prep_rng = None
         if spec.prepare_d_batches is not None:
@@ -92,7 +102,7 @@ def make_train_step(
         # Report the last critic substep's metrics (what the reference logs).
         d_metrics = jax.tree_util.tree_map(lambda x: x[-1], d_metrics)
 
-        d_vars = {"params": d_params, **d_state}
+        d_vars = {"params": d_params, **d_state}  # post-critic-scan variables
         rng, sub, next_rng = jax.random.split(rng, 3)
         (g_loss_val, (new_g_state, g_metrics)), g_grads = jax.value_and_grad(
             spec.g_loss, has_aux=True
@@ -125,16 +135,15 @@ def jit_train_step(
     g_optim,
     d_optim,
     mesh=None,
-    batch_axis: str = "data",
-    spatial_axis: Optional[str] = None,
 ):
     """Jit the fused step with state donated.
 
-    Under a mesh, the caller lays out the batch (``parallel.shard_batch`` /
-    ``prefetch_to_device``): batch dim over 'data' (DP — XLA inserts the
-    gradient psum) and optionally image height over ``spatial_axis`` (GSPMD
-    spatial partitioning with automatic halo exchange — the high-res PGGAN
-    path). State is pinned replicated here; GSPMD propagates the rest.
+    Under a mesh, the BATCH layout is entirely the caller's job
+    (``parallel.shard_batch`` / ``prefetch_to_device``): batch dim over 'data'
+    (DP — XLA inserts the gradient psum) and optionally image height over an
+    'sp' axis (GSPMD spatial partitioning with automatic halo exchange — the
+    high-res PGGAN path). This function only pins the state replicated; GSPMD
+    propagates everything else from the committed input shardings.
     """
     step = jax.jit(make_train_step(spec, g_optim, d_optim), donate_argnums=0)
     if mesh is None:
