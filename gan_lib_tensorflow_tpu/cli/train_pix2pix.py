@@ -135,16 +135,34 @@ def main(argv=None):
         return
 
     if args.mode == "export":
-        # Serving bundle: generator params + a compile-ready apply fn
-        # (the reference exports a frozen meta-graph; the JAX equivalent is
-        # params + the jitted apply, re-jittable at load).
+        # Serving bundle, two artifacts (the reference exports a frozen
+        # meta-graph; the JAX equivalents are):
+        # 1. params checkpoint + re-jittable apply (orbax)
+        # 2. a serialized StableHLO module of the jitted generator with the
+        #    params baked in — loadable via jax.export.deserialize and
+        #    runnable with no model code at all
         export_dir = os.path.join(args.out_dir, "export")
         ex_ckpt = CheckpointManager(export_dir)
         ex_ckpt.save(int(state.step),
                      {"g_params": state.g_params, "g_state": state.g_state},
                      wait=True)
         ex_ckpt.close()
-        print(f"exported generator to {export_dir}", flush=True)
+
+        from jax import export as jexport
+        g_vars = pix2pix.generator_variables(state)
+        fixed_rng = jax.random.PRNGKey(0)
+
+        def serve(inp):
+            return g.apply(g_vars, inp, train=False, rngs={"dropout": fixed_rng})
+
+        s = args.image_size
+        exported = jexport.export(jax.jit(serve))(
+            jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32))
+        path = os.path.join(export_dir, "generator_stablehlo.bin")
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        print(f"exported generator to {export_dir} "
+              f"(orbax params + {os.path.basename(path)})", flush=True)
 
 
 if __name__ == "__main__":
