@@ -44,20 +44,23 @@ def main(argv=None):
         spatial_axis="sp" if args.sp_shards > 1 else None,
         remat_from_resolution=args.remat_from)
 
-    if args.data not in ("auto", "fake") :
-        raise NotImplementedError(
-            "CelebA-HQ folder loading: point data.MultiResolution at a real "
-            "max-resolution source; offline default is synthetic")
-    base = data_lib.FakeImages(batch_size=max(cfg.batch_by_res.values()),
-                               image_size=args.final_resolution,
-                               num_classes=1, seed=args.seed)
+    import os as _os
+    if args.data not in ("auto", "fake") and _os.path.isdir(args.data):
+        # CelebA-HQ style flat folder of images
+        base = data_lib.ImageFolderFlat(
+            args.data, batch_size=max(cfg.batch_by_res.values()),
+            image_size=args.final_resolution, seed=args.seed)
+    else:
+        base = data_lib.FakeImages(batch_size=max(cfg.batch_by_res.values()),
+                                   image_size=args.final_resolution,
+                                   num_classes=1, seed=args.seed)
     multi = data_lib.MultiResolution(base=base,
                                      max_resolution=args.final_resolution)
 
     def source_factory(res, batch):
         src = multi.at_resolution(res)
         src.base.batch_size = batch
-        return src
+        return data_lib.ThreadedSource(src)
 
     import jax
     from ..parallel import create_mesh

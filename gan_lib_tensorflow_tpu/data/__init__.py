@@ -14,7 +14,7 @@ reference) with int32 labels where conditional.
 from .base import DataSource, microbatch_stack
 from .fake import DeviceFakeImages, FakeImages, FakePairedImages
 from .cifar10 import Cifar10
-from .imagenet import ImageFolderByClass, ImageNetNpz
+from .imagenet import ImageFolderByClass, ImageFolderFlat, ImageNetNpz
 from .paired import PairedImageFolder
 from .multires import MultiResolution
 from .pipeline import ThreadedSource
@@ -22,7 +22,8 @@ from .pipeline import ThreadedSource
 __all__ = [
     "DataSource", "microbatch_stack",
     "FakeImages", "FakePairedImages", "DeviceFakeImages",
-    "Cifar10", "ImageNetNpz", "ImageFolderByClass", "PairedImageFolder",
+    "Cifar10", "ImageNetNpz", "ImageFolderByClass", "ImageFolderFlat",
+    "PairedImageFolder",
     "MultiResolution",
     "ThreadedSource",
 ]

@@ -21,6 +21,16 @@ class DataSource(abc.ABC):
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         ...
 
+    def reseeded(self, seed: int) -> "DataSource":
+        """A shallow copy with a different random stream (used by
+        ThreadedSource workers to keep per-worker streams disjoint). Wrapper
+        sources must override to reseed what they wrap."""
+        import copy
+        src = copy.copy(self)
+        if hasattr(src, "seed"):
+            src.seed = seed
+        return src
+
 
 def microbatch_stack(source: DataSource, n_micro: int) -> Iterator[Dict[str, np.ndarray]]:
     """Stack ``n_micro`` consecutive batches along a new leading axis.

@@ -57,6 +57,44 @@ class ImageNetNpz(DataSource):
                        "label": self.labels[idx]}
 
 
+class ImageFolderFlat(DataSource):
+    """Unlabeled folder of images (CelebA-HQ style) at a fixed resolution —
+    the PGGAN real-data source (center-crop + resize on host; wrap with
+    MultiResolution for the ladder)."""
+
+    def __init__(self, path: str, batch_size: int = 16, image_size: int = 1024,
+                 seed: int = 0):
+        self.files = sorted(
+            f for ext in ("*.jpg", "*.jpeg", "*.png")
+            for f in glob.glob(os.path.join(path, ext)))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {path}")
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seed = seed
+
+    def _load(self, path: str) -> np.ndarray:
+        from PIL import Image
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            s = min(w, h)
+            im = im.crop(((w - s) // 2, (h - s) // 2,
+                          (w + s) // 2, (h + s) // 2))
+            im = im.resize((self.image_size,) * 2, Image.BILINEAR)
+            return (np.asarray(im, np.float32) / 127.5) - 1.0
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        n = len(self.files)
+        while True:
+            order = rng.permutation(n)
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                yield {"image": np.stack(
+                    [self._load(self.files[j])
+                     for j in order[i:i + self.batch_size]])}
+
+
 class ImageFolderByClass(DataSource):
     """Folder-of-class-subdirs JPEG loader (center-crop + resize to
     ``image_size``)."""

@@ -35,6 +35,11 @@ class MultiResolution(DataSource):
         self.max_resolution = max_resolution
         self.resolution = resolution
 
+    def reseeded(self, seed: int) -> "MultiResolution":
+        out = self.at_resolution(self.resolution)
+        out.base = self.base.reseeded(seed)
+        return out
+
     def at_resolution(self, resolution: int) -> "MultiResolution":
         out = MultiResolution.__new__(MultiResolution)
         out.base = self.base

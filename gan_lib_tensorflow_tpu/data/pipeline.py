@@ -39,9 +39,8 @@ class ThreadedSource(DataSource):
         stop = threading.Event()
 
         def worker(wid: int):
-            src = copy.copy(self.source)
-            if hasattr(src, "seed"):
-                src.seed = getattr(src, "seed", 0) + 1000003 * (wid + 1)
+            base_seed = getattr(self.source, "seed", 0)
+            src = self.source.reseeded(base_seed + 1000003 * (wid + 1))
             it = iter(src)
             while not stop.is_set():
                 batch = next(it)
