@@ -61,9 +61,14 @@ def maybe_mesh(args):
 
 def image_source(args, batch_size: int, image_size: int, num_classes: int,
                  n_micro: int = 1):
-    """Resolve --data to a DataSource. 'auto' prefers real CIFAR-10 (wrapped
-    in a threaded prefetcher), falls back to synthetic; 'device-fake'
-    generates batches on the accelerator (zero host cost; single-device)."""
+    """Resolve --data to a DataSource.
+
+    'auto' prefers real CIFAR-10 (threaded prefetcher), falling back to
+    synthetic with a note; 'cifar10' requires it; an explicit PATH must exist
+    and resolve (cifar pickle dir) — a path never falls back silently;
+    'device-fake' generates batches on the accelerator (single-device);
+    'fake' is the host synthetic twin."""
+    import os
     from .. import data
     if args.data in ("auto", "cifar10"):
         try:
@@ -73,13 +78,23 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
             if args.data == "cifar10":
                 raise
             print("note: CIFAR-10 not found on disk; using synthetic data", flush=True)
-    if args.data == "device-fake" and not args.no_mesh and jax.device_count() > 1:
-        print("note: device-fake is single-device; falling back to host fake",
-              flush=True)
     elif args.data == "device-fake":
-        return data.DeviceFakeImages(batch_size=batch_size, image_size=image_size,
-                                     num_classes=num_classes, seed=args.seed,
-                                     n_micro=n_micro)
+        if not args.no_mesh and jax.device_count() > 1:
+            print("note: device-fake is single-device; falling back to host fake",
+                  flush=True)
+        else:
+            return data.DeviceFakeImages(batch_size=batch_size,
+                                         image_size=image_size,
+                                         num_classes=num_classes,
+                                         seed=args.seed, n_micro=n_micro)
+    elif args.data != "fake":
+        # explicit path: resolve or fail loudly — never train on synthetic
+        # data the user didn't ask for
+        if os.path.isdir(args.data):
+            return data.ThreadedSource(
+                data.Cifar10(batch_size=batch_size, data_dir=args.data,
+                             seed=args.seed))
+        raise FileNotFoundError(f"--data {args.data!r}: no such directory")
     return data.ThreadedSource(
         data.FakeImages(batch_size=batch_size, image_size=image_size,
                         num_classes=num_classes, seed=args.seed))

@@ -56,16 +56,28 @@ def main(argv=None):
 
     net = InceptionV3Features(params_npz=args.inception_weights)
 
-    # real-data moments
-    if args.data in ("auto", "cifar10"):
-        try:
-            src = data_lib.Cifar10(batch_size=args.batch_size, seed=args.seed)
-        except FileNotFoundError:
-            src = data_lib.FakeImages(batch_size=args.batch_size, image_size=32,
-                                      seed=args.seed)
-    else:
+    # real-data moments (explicit paths must resolve — never silently fake)
+    import os
+    if args.data == "fake":
         src = data_lib.FakeImages(batch_size=args.batch_size, image_size=32,
                                   seed=args.seed)
+        real_source = "synthetic"
+    elif args.data in ("auto", "cifar10"):
+        try:
+            src = data_lib.Cifar10(batch_size=args.batch_size, seed=args.seed)
+            real_source = "cifar10"
+        except FileNotFoundError:
+            if args.data == "cifar10":
+                raise
+            src = data_lib.FakeImages(batch_size=args.batch_size, image_size=32,
+                                      seed=args.seed)
+            real_source = "synthetic"
+    elif os.path.isdir(args.data):
+        src = data_lib.Cifar10(batch_size=args.batch_size, data_dir=args.data,
+                               seed=args.seed)
+        real_source = args.data
+    else:
+        raise FileNotFoundError(f"--data {args.data!r}: no such directory")
     it = iter(src)
     real_batches = (next(it)["image"] for _ in range(args.n_real // args.batch_size))
     mu_r, cov_r = compute_statistics(net, real_batches, net.feature_dim)
@@ -80,6 +92,7 @@ def main(argv=None):
     out["step"] = int(state.step)
     out["extractor"] = ("inception_v3_pretrained" if args.inception_weights
                         else "inception_v3_random_init")
+    out["real_source"] = real_source
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 

@@ -45,22 +45,27 @@ def main(argv=None):
         remat_from_resolution=args.remat_from)
 
     import os as _os
-    if args.data not in ("auto", "fake") and _os.path.isdir(args.data):
-        # CelebA-HQ style flat folder of images
-        base = data_lib.ImageFolderFlat(
-            args.data, batch_size=max(cfg.batch_by_res.values()),
-            image_size=args.final_resolution, seed=args.seed)
-    else:
-        base = data_lib.FakeImages(batch_size=max(cfg.batch_by_res.values()),
-                                   image_size=args.final_resolution,
-                                   num_classes=1, seed=args.seed)
-    multi = data_lib.MultiResolution(base=base,
-                                     max_resolution=args.final_resolution)
+    if args.data not in ("auto", "fake"):
+        if not _os.path.isdir(args.data):
+            raise FileNotFoundError(f"--data {args.data!r}: no such directory")
 
-    def source_factory(res, batch):
-        src = multi.at_resolution(res)
-        src.base.batch_size = batch
-        return data_lib.ThreadedSource(src)
+        def source_factory(res, batch):
+            # real images decode at full res once, then box-downsample
+            base = data_lib.ImageFolderFlat(
+                args.data, batch_size=batch,
+                image_size=args.final_resolution, seed=args.seed)
+            multi = data_lib.MultiResolution(
+                base=base, batch_size=batch,
+                max_resolution=args.final_resolution, resolution=res)
+            return data_lib.ThreadedSource(multi)
+    else:
+        def source_factory(res, batch):
+            # synthetic reals are generated directly at the phase resolution —
+            # rendering 1024^2 blobs to train a 4x4 phase would throttle the
+            # fastest phases for nothing
+            return data_lib.ThreadedSource(data_lib.FakeImages(
+                batch_size=batch, image_size=res, num_classes=1,
+                seed=args.seed))
 
     import jax
     from ..parallel import create_mesh

@@ -64,10 +64,12 @@ def main(argv=None):
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
     if args.data not in ("auto", "fake") and os.path.exists(args.data):
         if args.data.endswith(".npz") or glob_has_npz(args.data):
-            source = data_lib.ImageNetNpz(args.data, batch_size=args.batch_size)
+            source = data_lib.ImageNetNpz(args.data, batch_size=args.batch_size,
+                                          seed=args.seed)
         else:
             source = data_lib.ImageFolderByClass(
-                args.data, batch_size=args.batch_size, image_size=128)
+                args.data, batch_size=args.batch_size, image_size=128,
+                seed=args.seed)
         source = data_lib.ThreadedSource(source)
     else:
         source = data_lib.ThreadedSource(data_lib.FakeImages(

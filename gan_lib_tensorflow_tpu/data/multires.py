@@ -34,10 +34,12 @@ class MultiResolution(DataSource):
         self.batch_size = batch_size
         self.max_resolution = max_resolution
         self.resolution = resolution
+        self.seed = getattr(self.base, "seed", seed)
 
     def reseeded(self, seed: int) -> "MultiResolution":
         out = self.at_resolution(self.resolution)
         out.base = self.base.reseeded(seed)
+        out.seed = seed
         return out
 
     def at_resolution(self, resolution: int) -> "MultiResolution":
@@ -46,6 +48,7 @@ class MultiResolution(DataSource):
         out.batch_size = self.batch_size
         out.max_resolution = self.max_resolution
         out.resolution = resolution
+        out.seed = self.seed
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

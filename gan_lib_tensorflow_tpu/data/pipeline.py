@@ -39,14 +39,22 @@ class ThreadedSource(DataSource):
         stop = threading.Event()
 
         def worker(wid: int):
-            base_seed = getattr(self.source, "seed", 0)
-            src = self.source.reseeded(base_seed + 1000003 * (wid + 1))
-            it = iter(src)
-            while not stop.is_set():
-                batch = next(it)
+            try:
+                base_seed = getattr(self.source, "seed", 0)
+                src = self.source.reseeded(base_seed + 1000003 * (wid + 1))
+                it = iter(src)
+                while not stop.is_set():
+                    batch = next(it)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surface loader errors to the consumer
                 while not stop.is_set():
                     try:
-                        q.put(batch, timeout=0.1)
+                        q.put(e, timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -57,6 +65,10 @@ class ThreadedSource(DataSource):
             t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "ThreadedSource worker failed; see chained error") from item
+                yield item
         finally:
             stop.set()

@@ -8,15 +8,13 @@ mixed0..mixed10, 2048-d global-average pool3 features, 1000-way logits) with
 randomly-initialized params plus ``load_params_npz`` to drop in converted
 pretrained weights when assets are available.
 
-Weight conversion (run wherever keras weights ARE available)::
-
-    import numpy as np, keras
-    m = keras.applications.InceptionV3(weights="imagenet")
-    np.savez("inception_v3.npz", **{w.path: w.numpy() for w in m.weights})
-
-then ``InceptionV3Features(params_npz="inception_v3.npz")``. Layer names here
-mirror keras' (conv2d/conv2d_1/... batch_normalization/...) so the mapping is
-mechanical.
+Weight conversion: the npz must use THIS module's parameter paths as keys
+('/'-joined flax paths, e.g. ``stem1/conv/kernel``, ``mixed0/b1x1/beta`` — the
+full list comes from ``param_paths()``). Keras' auto-generated layer names
+(conv2d_N/batch_normalization_N) enumerate in the same topological creation
+order as this module builds, so a converter zips keras' ordered weight list
+onto ``param_paths()`` output; run it wherever keras weights are available
+and validate shapes (``load_params_npz`` hard-fails on any mismatch).
 
 Input: NHWC float in [-1, 1] (inception's native scale), any resolution —
 resized to 299x299 bilinear on device, matching the reference pipeline's
@@ -230,6 +228,19 @@ class InceptionV3Features:
 
     def __call__(self, images):
         return self._apply(self.variables, images)
+
+
+def param_paths(shape_tree=None) -> list:
+    """Expected npz keys (and shapes) for ``load_params_npz`` — the contract
+    for offline weight conversion."""
+    from flax.traverse_util import flatten_dict
+
+    if shape_tree is None:
+        m = InceptionV3()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        shape_tree = jax.tree_util.tree_map(np.shape, v["params"])
+    return [("/".join(k), tuple(s)) for k, s in
+            sorted(flatten_dict(shape_tree).items())]
 
 
 def load_params_npz(path: str, shape_tree) -> dict:

@@ -114,7 +114,11 @@ def evaluate_generator(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     acc = MomentAccumulator(dim)
     all_probs = []
-    for i in range(n_samples // batch_size):
+    n_batches = max(n_samples // batch_size, 1)
+    if n_samples % batch_size and n_samples > batch_size:
+        print(f"note: evaluating {n_batches * batch_size} of {n_samples} "
+              f"samples (remainder dropped)", flush=True)
+    for i in range(n_batches):
         rng, sub = jax.random.split(rng)
         imgs = sample_batch_fn(sub)
         feats, logits = feature_fn(imgs)

@@ -73,17 +73,20 @@ def train_loop(
             spatial_axis=spatial_axis)
 
     metrics = None
+    trace_active = False
     for step, batch in zip(range(start_step, config.total_steps), batches):
         if config.trace_steps and step == start_step + 10:
             jax.profiler.start_trace(config.trace_dir or (config.out_dir or ".") + "/trace")
+            trace_active = True
         if alpha_fn is not None:
             # PGGAN fade-in: alpha is a traced state scalar — updating it does
             # NOT recompile the step (SURVEY.md §5 long-context row).
             state = state.replace(alpha=jnp.float32(alpha_fn(step)))
         state, metrics = step_fn(state, batch)
-        if config.trace_steps and step == start_step + 10 + config.trace_steps:
+        if trace_active and step == start_step + 10 + config.trace_steps:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
+            trace_active = False
 
         if config.fault_inject_step and step + 1 == config.fault_inject_step:
             raise RuntimeError(f"fault injected at step {step + 1}")
@@ -105,6 +108,9 @@ def train_loop(
         if ckpt is not None and (it % config.checkpoint_every == 0 or it == config.total_steps):
             ckpt.save(it, state)
 
+    if trace_active:
+        # trace window outlived the loop — finalize so the profile isn't lost
+        jax.profiler.stop_trace()
     if ckpt is not None:
         ckpt.wait()
     return state
