@@ -1,0 +1,57 @@
+"""--data resolution rules (self-review regression): explicit paths must
+resolve or fail loudly — never a silent synthetic fallback — and worker
+failures must surface, not hang."""
+
+import types
+
+import numpy as np
+import pytest
+
+from gan_lib_tensorflow_tpu import data
+from gan_lib_tensorflow_tpu.cli import common
+
+
+def _args(data, seed=0):
+    return types.SimpleNamespace(data=data, seed=seed, no_mesh=True)
+
+
+def test_fake_and_auto_fallback():
+    src = common.image_source(_args("fake"), 4, 8, 3)
+    assert isinstance(src, data.ThreadedSource)
+    # auto falls back to synthetic when no CIFAR on disk (note printed)
+    src = common.image_source(_args("auto"), 4, 8, 3)
+    assert isinstance(src, data.ThreadedSource)
+
+
+def test_explicit_missing_path_fails_loudly():
+    with pytest.raises(FileNotFoundError, match="no such directory"):
+        common.image_source(_args("/definitely/not/here"), 4, 8, 3)
+
+
+def test_explicit_cifar_dir_resolves(tmp_path):
+    import pickle
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rng.integers(0, 256, (8, 3072), np.uint8),
+                         b"labels": rng.integers(0, 10, 8).tolist()}, f)
+    src = common.image_source(_args(str(d)), 4, 32, 10)
+    b = next(iter(src))
+    assert b["image"].shape == (4, 32, 32, 3)
+
+
+def test_threaded_source_propagates_worker_errors():
+    class Bad(data.DataSource):
+        batch_size = 1
+        seed = 0
+
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise IOError("corrupt image")
+
+    it = iter(data.ThreadedSource(Bad(), num_workers=1, depth=2))
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in range(5):
+            next(it)
