@@ -1,0 +1,109 @@
+"""Tensor-parallel (GSPMD column-style) regression tests (VERDICT r1 #6).
+
+Pins three properties of ``parallel.tensor_parallel_spec`` on the virtual
+8-device CPU mesh:
+  (a) wide kernels are actually sharded on the 'model' axis (spec check),
+  (b) the fused train step runs with finite metrics under DP x TP,
+  (c) one DP x TP step is numerically equivalent to one pure-DP step —
+      GSPMD sharding must not change the math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gan_lib_tensorflow_tpu import train
+from gan_lib_tensorflow_tpu.models import sngan
+from gan_lib_tensorflow_tpu.parallel import (
+    create_mesh, shard_batch, tensor_parallel_spec)
+
+
+def _build():
+    g = sngan.ResNetGenerator(channels=(32, 32), bottom_ch=32, z_dim=8)
+    d = sngan.ResNetDiscriminator(channels=(32, 32, 32),
+                                  downsample=(True, True, False))
+    spec = sngan.make_sngan_spec(g, d, n_critic=2, ema_decay=0.0)
+    # SGD, not Adam: the DP-vs-TP equivalence check needs an update that is
+    # LINEAR in the gradient. Adam divides by sqrt(v)+eps, which amplifies
+    # float-epsilon reduction-order differences on near-zero gradients into
+    # sign flips — numerical noise, not a sharding bug.
+    g_optim = optax.sgd(0.01)
+    d_optim = optax.sgd(0.01)
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, g.z_dim)), train=False),
+        lambda r: d.init(r, jnp.zeros((2, 16, 16, 3))),
+        g_optim, d_optim)
+    step = jax.jit(train.make_train_step(spec, g_optim, d_optim))
+    return spec, state, step
+
+
+def _batch(spec, mesh):
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.standard_normal(
+            (spec.n_micro, 8, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 10, (spec.n_micro, 8)).astype(np.int32),
+    }
+    return shard_batch(batch, mesh, leading_stack_dims=1)
+
+
+@pytest.mark.slow
+def test_dp_tp_step_matches_pure_dp():
+    spec, state, step = _build()
+
+    # --- pure DP run (reference math) ---
+    mesh_dp = create_mesh((8,), ("data",))
+    state_dp = jax.device_put(state, NamedSharding(mesh_dp, P()))
+    new_dp, metrics_dp = step(state_dp, _batch(spec, mesh_dp))
+
+    # --- DP x TP run ---
+    mesh_tp = create_mesh((4, 2), ("data", "model"))
+    g_spec = tensor_parallel_spec(state.g_params, mesh_tp, min_features=32)
+    d_spec = tensor_parallel_spec(state.d_params, mesh_tp, min_features=32)
+
+    # (a) wide kernels actually got a 'model'-sharded spec
+    def has_model(s):
+        return "model" in jax.tree_util.tree_leaves(s.spec, is_leaf=lambda x: True)
+    n_model_g = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            g_spec, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if "model" in tuple(s.spec))
+    n_model_d = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            d_spec, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if "model" in tuple(s.spec))
+    assert n_model_g >= 3, f"only {n_model_g} G kernels sharded on 'model'"
+    assert n_model_d >= 3, f"only {n_model_d} D kernels sharded on 'model'"
+
+    state_tp = jax.device_put(state, NamedSharding(mesh_tp, P()))
+    state_tp = state_tp.replace(
+        g_params=jax.device_put(state_tp.g_params, g_spec),
+        d_params=jax.device_put(state_tp.d_params, d_spec))
+    new_tp, metrics_tp = step(state_tp, _batch(spec, mesh_tp))
+
+    # (b) finite metrics
+    for k, v in metrics_tp.items():
+        assert np.isfinite(float(v)), f"non-finite {k} under TP"
+
+    # outputs stay sharded on 'model' (GSPMD propagated, not silently gathered)
+    out_model = sum(
+        1 for leaf in jax.tree_util.tree_leaves(new_tp.g_params)
+        if "model" in tuple(leaf.sharding.spec))
+    assert out_model >= 3, "TP sharding lost through the train step"
+
+    # (c) numerically the same step as pure DP
+    for k in metrics_dp:
+        np.testing.assert_allclose(float(metrics_tp[k]), float(metrics_dp[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"metric {k}")
+    for which in ("g_params", "d_params"):
+        a = jax.tree_util.tree_leaves(getattr(new_dp, which))
+        b = jax.tree_util.tree_leaves(getattr(new_tp, which))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-4, atol=1e-5,
+                err_msg=f"{which} diverged between DP and DPxTP")
