@@ -128,15 +128,25 @@ def make_pix2pix_spec(
         fake, _ = g_model.apply(g_vars, inp, train=True,
                                 mutable=["batch_stats"], rngs={"dropout": rng})
         fake = jax.lax.stop_gradient(fake)
-        d_vars = {"params": d_params, **d_state}
-        real_logits, new_state = d_model.apply(
-            d_vars, inp, tgt, train=True, mutable=["batch_stats"])
-        fake_logits, _ = d_model.apply(
-            d_vars, inp, fake, train=True, mutable=["batch_stats"])
+        # D's BN moving averages advance through BOTH towers, sequentially
+        # (real then fake), matching the TF1 reference where both towers'
+        # update ops write the same moving-average variables. In train mode
+        # BN normalizes with the current batch's stats, so the chaining
+        # changes only the running stats, not the logits/loss.
+        real_logits, mid_state = d_model.apply(
+            {"params": d_params, **d_state}, inp, tgt,
+            train=True, mutable=["batch_stats"])
+        fake_logits, new_state = d_model.apply(
+            {"params": d_params, **dict(mid_state)}, inp, fake,
+            train=True, mutable=["batch_stats"])
         loss = bce_d_loss(real_logits, fake_logits)
         return loss, (dict(new_state), {"d_loss": loss})
 
     def g_loss(g_params, g_state, d_vars, batch, rng, alpha):
+        # Deliberate: the G step's D application does NOT advance D's BN
+        # running stats — D state updates belong to the D step (both towers,
+        # above). This is the one place we deviate from TF1's global
+        # UPDATE_OPS collection; see docs/DESIGN.md known-gaps.
         inp, tgt = batch["input"], batch["target"]
         fake, new_g_state = g_model.apply(
             {"params": g_params, **g_state}, inp, train=True,

@@ -75,9 +75,15 @@ def train_pggan_ladder(
     source_factory: Callable[[int, int], DataSource],
     mesh=None,
     logger: Optional[ScalarLogger] = None,
+    phase_hook: Optional[Callable[[str, int, str, GANTrainState], None]] = None,
 ) -> GANTrainState:
     """Run the full ladder. ``source_factory(resolution, batch_size)`` yields
-    a DataSource of reals at that resolution. Returns the final stage state."""
+    a DataSource of reals at that resolution. Returns the final stage state.
+
+    ``phase_hook(when, res, phase, state)`` is called with ``when='start'``
+    right after param migration (before any training step of the phase) and
+    ``when='end'`` after the phase's train_loop — the observation point that
+    lets tests assert bit-exact trunk carry through the ladder's own wiring."""
     logger = logger or ScalarLogger(cfg.out_dir)
     prev: Optional[GANTrainState] = None
     state = None
@@ -115,6 +121,9 @@ def train_pggan_ladder(
                 print(f"[pggan] {res}x{res} {phase}: migrated "
                       f"{g_copied} G + {d_copied} D tensors", flush=True)
 
+            if phase_hook is not None:
+                phase_hook("start", res, phase, state)
+
             steps = cfg.steps_per_phase or max(cfg.images_per_phase // batch, 1)
             alpha_fn = ((lambda i, s=steps: min((i % s + 1) / s, 1.0))
                         if fade else (lambda i: 1.0))
@@ -147,5 +156,7 @@ def train_pggan_ladder(
                                spatial_axis=cfg.spatial_axis)
             if ckpt:
                 ckpt.close()
+            if phase_hook is not None:
+                phase_hook("end", res, phase, state)
             prev = state
     return state

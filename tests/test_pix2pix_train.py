@@ -40,6 +40,46 @@ def test_pix2pix_fused_step():
                            g_kernel_before)
 
 
+def test_d_loss_advances_bn_stats_on_both_towers():
+    """D's BN running stats must advance through the real AND fake towers,
+    sequentially (TF1 reference: both towers' update ops write the same
+    moving averages). VERDICT r1 weak #4."""
+    g = pix2pix.UNetGenerator(base_ch=4)
+    d = pix2pix.PatchGANDiscriminator(base_ch=4)
+    spec = pix2pix.make_pix2pix_spec(g, d)
+
+    inp = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    g_vars = g.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(9)}, inp, train=False)
+    d_vars = d.init(jax.random.PRNGKey(3), inp, tgt, train=False)
+    d_params = d_vars["params"]
+    d_state = {k: v for k, v in d_vars.items() if k != "params"}
+
+    rng = jax.random.PRNGKey(5)
+    batch = {"input": inp, "target": tgt}
+    _, (new_state, _) = spec.d_loss(d_params, d_state, g_vars, batch, rng, 1.0)
+
+    # Expected: the two applies chained (real pass stats feed the fake pass).
+    fake, _ = g.apply(g_vars, inp, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": rng})
+    _, mid = d.apply({"params": d_params, **d_state}, inp, tgt,
+                     train=True, mutable=["batch_stats"])
+    _, end = d.apply({"params": d_params, **dict(mid)}, inp,
+                     jax.lax.stop_gradient(fake),
+                     train=True, mutable=["batch_stats"])
+
+    exp = jax.tree_util.tree_leaves(dict(end))
+    got = jax.tree_util.tree_leaves(new_state)
+    mid_leaves = jax.tree_util.tree_leaves(dict(mid))
+    assert len(exp) == len(got)
+    for e, o in zip(exp, got):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(o))
+    # and the fake pass really moved the stats past the real-only point
+    assert any(not np.allclose(np.asarray(m), np.asarray(o))
+               for m, o in zip(mid_leaves, got))
+
+
 def test_translator_deterministic_given_rng():
     g = pix2pix.UNetGenerator(base_ch=4)
     x = jnp.zeros((1, 64, 64, 3))
