@@ -1,6 +1,15 @@
-"""Evaluation: IS/FID machinery, feature nets, sample grids."""
+"""Evaluation: IS/FID machinery, feature nets, sample grids.
 
-from .features import FixedFeatureNet
+The ONE feature extractor for all headline paths (cli/evaluate.py,
+``train_sngan --eval-every``) is ``inception_v3.InceptionV3Features`` —
+pretrained when a converted npz is supplied (tools/convert_inception_weights),
+deterministic random-init stand-in otherwise. ``features.FixedFeatureNet`` is
+deliberately NOT exported: it exists only so unit tests can exercise the
+IS/FID math with a cheap net (importable as ``eval.features.FixedFeatureNet``);
+its numbers are on a different scale and must never mix with the headline
+extractor's.
+"""
+
 from .metrics import (
     MomentAccumulator,
     compute_statistics,
@@ -10,7 +19,6 @@ from .metrics import (
 )
 
 __all__ = [
-    "FixedFeatureNet",
     "MomentAccumulator", "compute_statistics", "evaluate_generator",
     "frechet_distance", "inception_score_from_probs",
 ]

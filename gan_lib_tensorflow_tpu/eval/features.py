@@ -6,11 +6,12 @@ extractors are provided:
 
 * ``inception_v3.InceptionV3`` (sibling module) — the real architecture;
   plug in converted weights via ``load_params`` when assets exist.
-* ``FixedFeatureNet`` (here) — a deterministic, seed-fixed random conv net.
-  Random convolutional features are a recognized proxy for distribution
-  distance (FID's Gaussian machinery is extractor-agnostic); absolute values
-  are NOT comparable to Inception-based numbers, but ordering/convergence
-  trends are, which is what offline smoke evaluation needs.
+* ``FixedFeatureNet`` (here) — a deterministic, seed-fixed random conv net,
+  **test-only** (not exported from ``eval``; no CLI uses it). It exists so
+  unit tests can exercise the IS/FID math cheaply. Random convolutional
+  features are a recognized proxy for distribution distance (FID's Gaussian
+  machinery is extractor-agnostic), but its numbers live on a different scale
+  than the headline InceptionV3 extractor's and must never mix with them.
 """
 
 from __future__ import annotations

@@ -67,7 +67,12 @@ class BasicConv(nn.Module):
 
 def _pool_same(x, window=3, stride=1, kind="avg"):
     if kind == "avg":
-        return nn.avg_pool(x, (window, window), (stride, stride), "SAME")
+        # TF/keras SAME average pooling EXCLUDES padding from the denominator
+        # (edge windows divide by the number of valid taps, not window^2);
+        # count_include_pad=False reproduces that. Verified numerically
+        # against keras InceptionV3 (tests/test_inception_keras_parity.py).
+        return nn.avg_pool(x, (window, window), (stride, stride), "SAME",
+                           count_include_pad=False)
     return nn.max_pool(x, (window, window), (stride, stride), "SAME")
 
 
