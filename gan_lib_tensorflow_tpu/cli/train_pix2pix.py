@@ -84,13 +84,21 @@ def main(argv=None):
         # decode/jitter on worker threads (the reference's queue-runner role)
         source = data_lib.ThreadedSource(base_source)
         translator = pix2pix.make_translator(g)
+        from ..utils.logging import ScalarLogger
+        logger = ScalarLogger(args.out_dir, curves=args.curves,
+                              tensorboard=args.tensorboard)
 
         def sample_fn(st, it):
-            out = translator(pix2pix.generator_variables(st),
-                             jnp.asarray(fixed["input"]), jax.random.PRNGKey(0))
-            trip = np.concatenate([fixed["input"], np.asarray(out), fixed["target"]], axis=2)
+            out = np.asarray(translator(pix2pix.generator_variables(st),
+                                        jnp.asarray(fixed["input"]),
+                                        jax.random.PRNGKey(0)))
+            trip = np.concatenate([fixed["input"], out, fixed["target"]], axis=2)
             save_image_grid(trip, os.path.join(args.out_dir, "samples", f"{it:06d}.png"),
                             rows=len(trip))
+            # reference writes tf.summary.image for inputs/outputs/targets
+            logger.log_images(it, "inputs", fixed["input"])
+            logger.log_images(it, "outputs", out)
+            logger.log_images(it, "targets", fixed["target"])
 
         cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
                          sample_every=args.sample_every,
@@ -99,7 +107,7 @@ def main(argv=None):
                      trace_steps=args.trace_steps,
                          fault_inject_step=args.fault_inject_step)
         train_loop(state, step_fn, source, spec.n_micro, cfg, mesh=mesh,
-                   sample_fn=sample_fn, ckpt=ckpt)
+                   sample_fn=sample_fn, ckpt=ckpt, logger=logger)
         return
 
     restored = ckpt.restore_latest(state)

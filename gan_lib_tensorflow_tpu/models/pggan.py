@@ -31,7 +31,7 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 from ..losses import drift_penalty, gradient_penalty, wgan_d_loss, wgan_g_loss
 from ..ops import Conv, Dense, downsample_avg, minibatch_stddev, pixel_norm, upsample_nearest
-from ..ops.layers import UpsampleConv
+from ..ops.layers import DownsampleConv, UpsampleConv
 from ..train.step import GANSpec
 
 Dtype = Any
@@ -69,10 +69,19 @@ class _GenBlock(nn.Module):
 
 
 class _DiscBlock(nn.Module):
-    """One D level: conv3x3 -> conv3x3 (channel step) -> avg-pool."""
+    """One D level: conv3x3 -> conv3x3 (channel step) -> avg-pool.
+
+    ``fused_scale=True`` computes the second conv and the downsample as ONE
+    stride-2 conv (ops.fused.conv_downscale2x — exact dual of the G-side
+    fused upsample) and applies the LeakyReLU after the downsample. That
+    nonlinearity reorder is the reference lineage's own ``fused_scale``
+    semantics (tkarras PGGAN uses it at high resolutions as a perf variant);
+    params stay bit-compatible with the composed form, so migrate_params and
+    checkpoints are unaffected by the toggle."""
 
     features1: int
     features2: int
+    fused_scale: bool = False
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -80,6 +89,10 @@ class _DiscBlock(nn.Module):
         h = Conv(self.features1, 3, equalized=True,
                  compute_dtype=self.compute_dtype, name="conv1")(h)
         h = _lrelu(h)
+        if self.fused_scale:
+            h = DownsampleConv(self.features2, 3, equalized=True,
+                               compute_dtype=self.compute_dtype, name="conv2")(h)
+            return _lrelu(h)
         h = Conv(self.features2, 3, equalized=True,
                  compute_dtype=self.compute_dtype, name="conv2")(h)
         h = _lrelu(h)
@@ -137,6 +150,10 @@ class PGGANDiscriminator(nn.Module):
     width_mul: float = 1.0
     mbstd_group_size: int = 4
     remat_from: int = 0             # see PGGANGenerator.remat_from
+    # use the fused conv+downscale (and its post-downscale lrelu, the Karras
+    # fused_scale variant) at resolutions >= this (0 = never). Perf knob for
+    # the 512/1024 rungs; params are unaffected.
+    fused_from: int = 0
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -154,7 +171,8 @@ class PGGANDiscriminator(nn.Module):
             Block = (nn.remat(_DiscBlock)
                      if self.remat_from and res >= self.remat_from
                      else _DiscBlock)
-            h = Block(nf(res, wm), nf(res // 2, wm), dt,
+            fused = bool(self.fused_from) and res >= self.fused_from
+            h = Block(nf(res, wm), nf(res // 2, wm), fused, dt,
                       name=f"block_{res}")(h)
             if first and self.fade_in:
                 skip = Conv(nf(res // 2, wm), 1, equalized=True, compute_dtype=dt,

@@ -7,7 +7,9 @@ from .layers import (
     Conv,
     ConvTranspose,
     Dense,
+    DownsampleConv,
     Embedding,
+    UpsampleConv,
     downsample_avg,
     global_sum_pool,
     upsample_nearest,
@@ -24,6 +26,7 @@ from .sn import power_iteration, spectral_normalize
 __all__ = [
     "initializers",
     "Conv", "ConvTranspose", "Dense", "Embedding",
+    "UpsampleConv", "DownsampleConv",
     "upsample_nearest", "downsample_avg", "global_sum_pool",
     "BatchNorm", "ConditionalBatchNorm", "LayerNorm", "pixel_norm",
     "minibatch_stddev",

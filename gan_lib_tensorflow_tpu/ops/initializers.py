@@ -34,6 +34,28 @@ zeros = nn.initializers.zeros
 ones = nn.initializers.ones
 
 
+def get(name_or_fn):
+    """Resolve an initializer from the tflib-style string vocabulary
+    (``Linear(..., initialization='he'|'glorot'|...)``) or pass a callable
+    through unchanged."""
+    if callable(name_or_fn):
+        return name_or_fn
+    table = {
+        "he": he_uniform,
+        "he_normal": he_normal,
+        "glorot": glorot_uniform,
+        "glorot_uniform": glorot_uniform,
+        "normal": unit_normal,
+        "zeros": zeros,
+        "ones": ones,
+    }
+    try:
+        return table[name_or_fn]
+    except KeyError:
+        raise ValueError(
+            f"unknown initializer {name_or_fn!r}; one of {sorted(table)}")
+
+
 def he_scale(shape, gain: float = np.sqrt(2.0)) -> float:
     """Runtime He multiplier for equalized-LR layers: gain / sqrt(fan_in).
 

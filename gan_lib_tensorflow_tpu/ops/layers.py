@@ -43,14 +43,21 @@ def _maybe_cast(x: jnp.ndarray, dtype: Optional[Dtype]) -> jnp.ndarray:
 
 
 class Dense(nn.Module):
-    """Linear layer (reference: ``common/ops/linear.py`` ``Linear``)."""
+    """Linear layer (reference: ``common/ops/linear.py`` ``Linear``).
+
+    ``kernel_init`` also accepts the reference's initialization strings
+    ('he', 'glorot', ...); ``weight_norm=True`` reparameterizes each output
+    column as ``w * g / ||w||`` with ``g`` initialized to the column norms at
+    init (tflib ``weightnorm=True``) — identity at step 0, learned scale
+    thereafter."""
 
     features: int
     use_bias: bool = True
-    kernel_init: Initializer = initializers.he_normal
+    kernel_init: Union[str, Initializer] = initializers.he_normal
     bias_init: Initializer = initializers.zeros
     spectral_norm: bool = False
     sn_iters: int = 1
+    weight_norm: bool = False
     equalized: bool = False
     lr_mul: float = 1.0
     gain: float = float(np.sqrt(2.0))
@@ -59,10 +66,15 @@ class Dense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
         in_dim = x.shape[-1]
-        kinit = initializers.unit_normal if self.equalized else self.kernel_init
+        kinit = (initializers.unit_normal if self.equalized
+                 else initializers.get(self.kernel_init))
         kernel = self.param("kernel", kinit, (in_dim, self.features), jnp.float32)
         if self.equalized:
             kernel = kernel * (initializers.he_scale(kernel.shape, self.gain) * self.lr_mul)
+        if self.weight_norm:
+            norms = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=0) + 1e-12)
+            g = self.param("wn_g", lambda rng: norms)
+            kernel = kernel * (g / norms)
         if self.spectral_norm:
             kernel = spectral_normalize(self, kernel, update_sn, self.sn_iters)
         y = _maybe_cast(x, self.compute_dtype) @ _maybe_cast(kernel, self.compute_dtype)
@@ -86,7 +98,7 @@ class Conv(nn.Module):
     strides: Union[int, Tuple[int, int]] = 1
     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
     use_bias: bool = True
-    kernel_init: Initializer = initializers.he_normal
+    kernel_init: Union[str, Initializer] = initializers.he_normal
     bias_init: Initializer = initializers.zeros
     spectral_norm: bool = False
     sn_iters: int = 1
@@ -101,7 +113,8 @@ class Conv(nn.Module):
         strides = (self.strides,) * 2 if isinstance(self.strides, int) else tuple(self.strides)
         in_c = x.shape[-1]
         kshape = (*ksize, in_c, self.features)  # HWIO
-        kinit = initializers.unit_normal if self.equalized else self.kernel_init
+        kinit = (initializers.unit_normal if self.equalized
+                 else initializers.get(self.kernel_init))
         kernel = self.param("kernel", kinit, kshape, jnp.float32)
         if self.equalized:
             kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
@@ -135,7 +148,7 @@ class ConvTranspose(nn.Module):
     kernel_size: Union[int, Tuple[int, int]] = 5
     strides: Union[int, Tuple[int, int]] = 2
     use_bias: bool = True
-    kernel_init: Initializer = initializers.he_normal
+    kernel_init: Union[str, Initializer] = initializers.he_normal
     bias_init: Initializer = initializers.zeros
     spectral_norm: bool = False
     sn_iters: int = 1
@@ -150,7 +163,8 @@ class ConvTranspose(nn.Module):
         strides = (self.strides,) * 2 if isinstance(self.strides, int) else tuple(self.strides)
         in_c = x.shape[-1]
         kshape = (*ksize, in_c, self.features)  # HWIO for lax.conv_transpose
-        kinit = initializers.unit_normal if self.equalized else self.kernel_init
+        kinit = (initializers.unit_normal if self.equalized
+                 else initializers.get(self.kernel_init))
         kernel = self.param("kernel", kinit, kshape, jnp.float32)
         if self.equalized:
             kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
@@ -182,7 +196,7 @@ class UpsampleConv(nn.Module):
     features: int
     kernel_size: int = 3
     use_bias: bool = True
-    kernel_init: Initializer = initializers.he_normal
+    kernel_init: Union[str, Initializer] = initializers.he_normal
     bias_init: Initializer = initializers.zeros
     equalized: bool = False
     lr_mul: float = 1.0
@@ -197,7 +211,8 @@ class UpsampleConv(nn.Module):
         ksize = (self.kernel_size,) * 2
         in_c = x.shape[-1]
         kshape = (*ksize, in_c, self.features)
-        kinit = initializers.unit_normal if self.equalized else self.kernel_init
+        kinit = (initializers.unit_normal if self.equalized
+                 else initializers.get(self.kernel_init))
         kernel = self.param("kernel", kinit, kshape, jnp.float32)
         if self.equalized:
             kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
@@ -209,6 +224,56 @@ class UpsampleConv(nn.Module):
                 _maybe_cast(kernel, self.compute_dtype),
                 window_strides=(1, 1), padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.equalized:
+                bias = bias * self.lr_mul
+            y = y + _maybe_cast(bias, self.compute_dtype)
+        return y
+
+
+class DownsampleConv(nn.Module):
+    """conv followed by box-downsample-2x, computed fused (see ops.fused) —
+    the D-side dual of ``UpsampleConv`` (PGGAN high-res discriminator blocks).
+
+    Param-compatible with ``Conv`` ('kernel'/'bias' of the un-fused kxk conv),
+    so checkpoints and ``migrate_params`` are interchangeable with the
+    composed form. Set ``fused=False`` for explicit conv-then-downsample.
+    The bias adds AFTER the downsample (a per-channel constant commutes with
+    box averaging, so this is exact and cheaper at quarter resolution).
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    kernel_init: Union[str, Initializer] = initializers.he_normal
+    bias_init: Initializer = initializers.zeros
+    equalized: bool = False
+    lr_mul: float = 1.0
+    gain: float = float(np.sqrt(2.0))
+    fused: bool = True
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .fused import conv_downscale2x
+
+        ksize = (self.kernel_size,) * 2
+        in_c = x.shape[-1]
+        kshape = (*ksize, in_c, self.features)
+        kinit = (initializers.unit_normal if self.equalized
+                 else initializers.get(self.kernel_init))
+        kernel = self.param("kernel", kinit, kshape, jnp.float32)
+        if self.equalized:
+            kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
+        if self.fused:
+            y = conv_downscale2x(x, kernel, compute_dtype=self.compute_dtype)
+        else:
+            y = downsample_avg(jax.lax.conv_general_dilated(
+                _maybe_cast(x, self.compute_dtype),
+                _maybe_cast(kernel, self.compute_dtype),
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             if self.equalized:

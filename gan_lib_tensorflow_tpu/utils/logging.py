@@ -42,6 +42,17 @@ class ScalarLogger:
         for k, v in metrics.items():
             self._since_flush[k].append(float(v))
 
+    def log_images(self, step: int, tag: str, images) -> None:
+        """TB image summaries (the reference pix2pix's ``tf.summary.image``
+        on inputs/outputs/targets). ``images``: NHWC float in [-1, 1].
+        No-op unless TB logging is enabled."""
+        if self._tb is None:
+            return
+        import numpy as np
+        arr = np.clip((np.asarray(images, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+        self._tb.add_images(tag, arr, step, dataformats="NHWC")
+        self._tb.flush()
+
     def flush(self, step: int, extra: Optional[Dict[str, float]] = None) -> Dict[str, float]:
         means = {k: sum(v) / len(v) for k, v in self._since_flush.items() if v}
         if extra:

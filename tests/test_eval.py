@@ -44,7 +44,8 @@ def test_inception_score_bounds():
 
 
 def test_fixed_feature_net_separates_distributions():
-    net = ev.FixedFeatureNet(image_size=16, feature_dim=32)
+    from gan_lib_tensorflow_tpu.eval.features import FixedFeatureNet
+    net = FixedFeatureNet(image_size=16, feature_dim=32)
     rng = np.random.default_rng(0)
     a = rng.uniform(-1, 1, (256, 16, 16, 3)).astype(np.float32)
     b = (rng.uniform(-1, 1, (256, 16, 16, 3)).astype(np.float32) * 0.2 - 0.5)

@@ -56,3 +56,70 @@ def test_fused_gradients_match():
     gr = jax.grad(loss_ref)(w)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_downscale_fused_matches_composed():
+    """conv_downscale2x == downsample_avg(conv_same(x, w)) exactly (the
+    D-side dual, used by PGGAN fused_from)."""
+    from gan_lib_tensorflow_tpu.ops.fused import conv_downscale2x
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 12, 5))
+    for k in (3, 1):
+        w = jax.random.normal(jax.random.PRNGKey(k + 10), (k, k, 5, 6))
+        ref = ops.downsample_avg(jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        got = conv_downscale2x(x, w)
+        assert got.shape == ref.shape == (2, 4, 6, 6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_downscale_module_parity_and_grads():
+    from gan_lib_tensorflow_tpu.ops.fused import conv_downscale2x
+    from gan_lib_tensorflow_tpu.ops.layers import DownsampleConv
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 4))
+    fused = DownsampleConv(6, 3, fused=True)
+    plain = DownsampleConv(6, 3, fused=False)
+    variables = fused.init(jax.random.PRNGKey(4), x)
+    np.testing.assert_allclose(np.asarray(fused.apply(variables, x)),
+                               np.asarray(plain.apply(variables, x)),
+                               rtol=1e-5, atol=1e-5)
+    assert variables["params"]["kernel"].shape == (3, 3, 4, 6)
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 4, 2))
+
+    def loss_fused(w):
+        return jnp.sum(jnp.square(conv_downscale2x(x, w)))
+
+    def loss_ref(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.square(ops.downsample_avg(y)))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(w)),
+                               np.asarray(jax.grad(loss_ref)(w)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pggan_d_fused_from_param_compat():
+    """fused_from toggling must not change the D param structure (checkpoints
+    and migrate_params stay interchangeable), and the fused net must run."""
+    from gan_lib_tensorflow_tpu.models import pggan
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 16, 16, 3))
+    d_plain = pggan.PGGANDiscriminator(resolution=16, width_mul=1 / 32,
+                                       mbstd_group_size=2)
+    d_fused = pggan.PGGANDiscriminator(resolution=16, width_mul=1 / 32,
+                                       mbstd_group_size=2, fused_from=8)
+    v_plain = d_plain.init(jax.random.PRNGKey(7), x)
+    v_fused = d_fused.init(jax.random.PRNGKey(7), x)
+    flat_p = jax.tree_util.tree_map(np.shape, v_plain)
+    flat_f = jax.tree_util.tree_map(np.shape, v_fused)
+    assert jax.tree_util.tree_structure(flat_p) == jax.tree_util.tree_structure(flat_f)
+    assert jax.tree_util.tree_leaves(flat_p) == jax.tree_util.tree_leaves(flat_f)
+    # same params drive both variants; outputs differ only by the documented
+    # lrelu/pool reorder (finite, same shape)
+    y = d_fused.apply(v_plain, x)
+    assert y.shape == (4, 1) and np.all(np.isfinite(np.asarray(y)))

@@ -110,3 +110,45 @@ def test_resblocks_shapes(block_cls, kw):
     else:
         y, _ = m.init_with_output(key, x)
         assert y.shape == (2, 4, 4, 32)
+
+
+def test_dense_weight_norm_identity_at_init():
+    """tflib weightnorm=True: g init = column norms => identity at step 0."""
+    import jax
+    import jax.numpy as jnp
+    from gan_lib_tensorflow_tpu.ops import Dense
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    d_wn = Dense(8, weight_norm=True)
+    d_plain = Dense(8)
+    v_wn = d_wn.init(jax.random.PRNGKey(0), x)
+    v_plain = d_plain.init(jax.random.PRNGKey(0), x)
+    assert "wn_g" in v_wn["params"]
+    np.testing.assert_allclose(np.asarray(d_wn.apply(v_wn, x)),
+                               np.asarray(d_plain.apply(v_plain, x)),
+                               rtol=1e-6, atol=1e-6)
+    # scaling g scales each output column linearly
+    v2 = jax.tree_util.tree_map(lambda a: a, v_wn)
+    v2 = {"params": dict(v_wn["params"])}
+    v2["params"]["wn_g"] = v_wn["params"]["wn_g"] * 2.0
+    y2 = d_wn.apply(v2, x)
+    bias = v_wn["params"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(y2 - bias), 2.0 * np.asarray(d_wn.apply(v_wn, x) - bias),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_init_string_vocabulary():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from gan_lib_tensorflow_tpu.ops import Conv, Dense
+    from gan_lib_tensorflow_tpu.ops import initializers
+
+    x = jnp.ones((2, 4))
+    for name in ("he", "glorot", "he_normal"):
+        Dense(8, kernel_init=name).init(jax.random.PRNGKey(0), x)
+    Conv(8, 3, kernel_init="glorot").init(jax.random.PRNGKey(0),
+                                          jnp.ones((1, 8, 8, 3)))
+    with pytest.raises(ValueError, match="unknown initializer"):
+        initializers.get("bogus")
