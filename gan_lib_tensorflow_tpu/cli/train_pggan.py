@@ -24,8 +24,14 @@ def main(argv=None):
     p.add_argument("--z-dim", type=int, default=512)
     p.add_argument("--steps-per-phase", type=int, default=0,
                    help="override phase length in steps (smoke runs)")
-    p.add_argument("--remat-from", type=int, default=512,
-                   help="rematerialize convs at resolutions >= this (0=off)")
+    p.add_argument("--remat-from", type=int, default=0,
+                   help="rematerialize convs at resolutions >= this (0=off). "
+                        "With the default fused D blocks even 1024^2 batch 4 "
+                        "fits without remat (BASELINE.md round-2 sweep); set "
+                        "512 if memory pressure returns")
+    p.add_argument("--fused-from", type=int, default=128,
+                   help="fused conv+downscale D blocks (Karras fused_scale) "
+                        "at resolutions >= this (0=off)")
     p.add_argument("--sp-shards", type=int, default=1,
                    help="shard image height over this many chips (GSPMD "
                         "spatial partitioning for high-res levels)")
@@ -42,7 +48,8 @@ def main(argv=None):
         sample_every=args.sample_every, checkpoint_every=args.ckpt_every,
         steps_per_phase=args.steps_per_phase or None,
         spatial_axis="sp" if args.sp_shards > 1 else None,
-        remat_from_resolution=args.remat_from)
+        remat_from_resolution=args.remat_from,
+        fused_from_resolution=args.fused_from)
 
     import os as _os
     if args.data not in ("auto", "fake"):

@@ -65,6 +65,9 @@ def main(argv=None):
                         "IS/FID pauses; offline uses the random-init "
                         "InceptionV3 — relative trends only)")
     p.add_argument("--eval-samples", type=int, default=5000)
+    p.add_argument("--inception-weights", default=None,
+                   help="npz from tools/convert_inception_weights.py; absent "
+                        "= seed-fixed random extractor (relative trends only)")
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="linear-decay horizon (0 = --steps)")
     args = p.parse_args(argv)
@@ -87,7 +90,7 @@ def main(argv=None):
     if args.eval_every:
         from ..eval import MomentAccumulator, evaluate_generator
         from ..eval.inception_v3 import InceptionV3Features
-        net = InceptionV3Features()
+        net = InceptionV3Features(params_npz=args.inception_weights)
         eval_bs = 100
         real_src = iter(common.image_source(args, eval_bs, 32,
                                             max(args.num_classes, 10)))

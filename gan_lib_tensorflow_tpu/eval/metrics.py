@@ -55,7 +55,7 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
 
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
+    covmean = scipy.linalg.sqrtm(cov1 @ cov2)
     if not np.isfinite(covmean).all():
         offset = np.eye(cov1.shape[0]) * eps
         covmean = scipy.linalg.sqrtm((cov1 + offset) @ (cov2 + offset))

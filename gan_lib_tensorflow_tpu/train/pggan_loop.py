@@ -61,6 +61,9 @@ class LadderConfig:
     # Rematerialize convs from this resolution upward (0 = never); trades
     # FLOPs for activation memory at 512/1024 (SURVEY.md §7 hard part #3).
     remat_from_resolution: int = 0
+    # Use the fused conv+downscale D blocks (Karras fused_scale variant)
+    # from this resolution upward (0 = never). Param-compatible perf knob.
+    fused_from_resolution: int = 0
 
 
 def resolutions(cfg: LadderConfig):
@@ -100,6 +103,7 @@ def train_pggan_ladder(
             d = pggan.PGGANDiscriminator(resolution=res, fade_in=fade,
                                          width_mul=cfg.width_mul,
                                          remat_from=cfg.remat_from_resolution,
+                                         fused_from=cfg.fused_from_resolution,
                                          compute_dtype=cfg.compute_dtype)
             spec = pggan.make_pggan_spec(g, d, ema_decay=cfg.ema_decay)
             g_optim = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)

@@ -67,3 +67,23 @@ def test_tiny_ladder_runs_and_grows():
                     prev_leaves[p], next_leaves[p],
                     err_msg=f"{net}:{p} not carried bit-exact "
                             f"{prev_key}->{next_key}")
+
+
+def test_ladder_fused_from_wiring():
+    """``fused_from_resolution`` reaches the D blocks through the ladder
+    (param-compatible toggle: migration across phases must still line up)."""
+    base = data.FakeImages(batch_size=4, image_size=8, num_classes=1, seed=0)
+    multi = data.MultiResolution(base=base, batch_size=4, max_resolution=8)
+
+    cfg = LadderConfig(
+        start_resolution=4, final_resolution=8,
+        batch_by_res={4: 4, 8: 4}, width_mul=1 / 64, z_dim=8,
+        steps_per_phase=1, log_every=1, sample_every=10**9,
+        checkpoint_every=10**9, out_dir=None,
+        fused_from_resolution=8)
+
+    state = train_pggan_ladder(cfg, lambda res, b: multi.at_resolution(res))
+    assert int(state.step) == 1
+    import jax
+    for leaf in jax.tree_util.tree_leaves(state.d_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
