@@ -22,7 +22,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data", default="auto",
-                   help="data backend: auto | fake | cifar10 | <path>")
+                   help="data backend: auto | fake | fake-rich | cifar10 | "
+                        "device-fake | device-rich | <path>")
     p.add_argument("--out-dir", default="runs/out")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--sample-every", type=int, default=1000)
@@ -66,8 +67,9 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
     'auto' prefers real CIFAR-10 (threaded prefetcher), falling back to
     synthetic with a note; 'cifar10' requires it; an explicit PATH must exist
     and resolve (cifar pickle dir) — a path never falls back silently;
-    'device-fake' generates batches on the accelerator (single-device);
-    'fake' is the host synthetic twin."""
+    'device-fake' / 'device-rich' generate batches on the accelerator
+    (single-device); 'fake' / 'fake-rich' are the host synthetic twins
+    ('rich' = the non-degenerate multi-blob style for long GAN runs)."""
     import os
     from .. import data
     if args.data in ("auto", "cifar10"):
@@ -78,15 +80,20 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
             if args.data == "cifar10":
                 raise
             print("note: CIFAR-10 not found on disk; using synthetic data", flush=True)
-    elif args.data == "device-fake":
+    elif args.data in ("device-fake", "device-rich"):
         if not args.no_mesh and jax.device_count() > 1:
             print("note: device-fake is single-device; falling back to host fake",
                   flush=True)
         else:
-            return data.DeviceFakeImages(batch_size=batch_size,
-                                         image_size=image_size,
-                                         num_classes=num_classes,
-                                         seed=args.seed, n_micro=n_micro)
+            return data.DeviceFakeImages(
+                batch_size=batch_size, image_size=image_size,
+                num_classes=num_classes, seed=args.seed, n_micro=n_micro,
+                style="rich" if args.data == "device-rich" else "blobs")
+    elif args.data == "fake-rich":
+        return data.ThreadedSource(
+            data.FakeImages(batch_size=batch_size, image_size=image_size,
+                            num_classes=num_classes, seed=args.seed,
+                            style="rich"))
     elif args.data != "fake":
         # explicit path: resolve or fail loudly — never train on synthetic
         # data the user didn't ask for
@@ -97,4 +104,5 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
         raise FileNotFoundError(f"--data {args.data!r}: no such directory")
     return data.ThreadedSource(
         data.FakeImages(batch_size=batch_size, image_size=image_size,
-                        num_classes=num_classes, seed=args.seed))
+                        num_classes=num_classes, seed=args.seed,
+                        style="rich" if args.data == "device-rich" else "blobs"))

@@ -55,23 +55,84 @@ def _blob_images(rng: np.random.Generator, labels: np.ndarray, size: int,
     return np.clip(img, -1, 1, out=img)
 
 
+_RICH_BLOBS = 3
+
+
+def _compose_rich(xp, xx, yy, lab_color, centers, sigmas, weights, colors,
+                  bg_color, bg_dir, noise):
+    """Deterministic renderer shared by the host (numpy) and device (jnp)
+    twins of the 'rich' synthetic style: K anisotropic gaussian blobs with
+    continuous random centers/sizes/weights/colors + an oriented background
+    gradient + noise. Blob 0's color is tinted toward the class color so
+    conditional models still get label signal. Leading dims of the param
+    arrays are arbitrary batch dims; xx/yy are (H, W) grids in [0, 1].
+
+    Unlike the single class-pinned blob of the default style, every factor
+    varies continuously per sample — the distribution has enough intrinsic
+    entropy that a discriminator cannot trivially separate real from fake,
+    which is what long-horizon GAN soak runs need (a 10-point distribution
+    lets D win outright and the minimax race diverges; observed, see
+    BASELINE.md round-2 notes)."""
+    colors = xp.concatenate(
+        [(0.5 * lab_color + 0.5 * colors[..., 0, :])[..., None, :],
+         colors[..., 1:, :]], axis=-2)
+    img = (bg_color[..., None, None, :]
+           * (bg_dir[..., 0, None, None] * (xx - 0.5)
+              + bg_dir[..., 1, None, None] * (yy - 0.5))[..., None])
+    for k in range(_RICH_BLOBS):
+        cx = centers[..., k, 0][..., None, None]
+        cy = centers[..., k, 1][..., None, None]
+        sx = sigmas[..., k, 0][..., None, None]
+        sy = sigmas[..., k, 1][..., None, None]
+        g = xp.exp(-((xx - cx) ** 2 / (2 * sx**2)
+                     + (yy - cy) ** 2 / (2 * sy**2)))
+        img = img + (weights[..., k][..., None, None, None]
+                     * g[..., None] * colors[..., k, :][..., None, None, :])
+    return xp.clip(img + noise, -1, 1)
+
+
+def _rich_images_np(rng: np.random.Generator, labels: np.ndarray, size: int,
+                    num_classes: int) -> np.ndarray:
+    n = labels.shape[0]
+    _, class_color, _ = _class_table(num_classes)
+    lab_color = class_color[labels % len(class_color)]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / max(size - 1, 1)
+    K = _RICH_BLOBS
+    u = lambda lo, hi, shape: rng.uniform(lo, hi, shape).astype(np.float32)
+    return _compose_rich(
+        np, xx[None], yy[None], lab_color,
+        centers=u(0.15, 0.85, (n, K, 2)), sigmas=u(0.05, 0.16, (n, K, 2)),
+        weights=u(0.3, 1.0, (n, K)), colors=u(-1, 1, (n, K, 3)),
+        bg_color=u(-0.4, 0.4, (n, 3)), bg_dir=u(-1, 1, (n, 2)),
+        noise=0.05 * rng.standard_normal((n, size, size, 3)).astype(np.float32))
+
+
 class FakeImages(DataSource):
-    """Synthetic class-conditional image source (CIFAR-10/ImageNet stand-in)."""
+    """Synthetic class-conditional image source (CIFAR-10/ImageNet stand-in).
+
+    ``style='blobs'`` (default): one class-pinned gaussian blob — maximal
+    label signal, ideal for classifier/conditioning smoke tests.
+    ``style='rich'``: continuously-varying multi-blob compositions — a
+    non-degenerate distribution a GAN can race on for long horizons."""
 
     def __init__(self, batch_size: int = 64, image_size: int = 32,
-                 num_classes: int = 10, seed: int = 0):
+                 num_classes: int = 10, seed: int = 0, style: str = "blobs"):
+        if style not in ("blobs", "rich"):
+            raise ValueError(f"unknown synthetic style {style!r}")
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_classes = num_classes
         self.seed = seed
+        self.style = style
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)
+        render = (_rich_images_np if self.style == "rich" else _blob_images)
         while True:
             labels = rng.integers(0, self.num_classes, self.batch_size).astype(np.int32)
             yield {
-                "image": _blob_images(rng, labels, self.image_size,
-                                      self.num_classes),
+                "image": render(rng, labels, self.image_size,
+                                self.num_classes),
                 "label": labels,
             }
 
@@ -86,10 +147,13 @@ class DeviceFakeImages:
     yields_stacks = True  # already [n_micro, B, ...] and device-resident
 
     def __init__(self, batch_size: int = 64, image_size: int = 32,
-                 num_classes: int = 10, seed: int = 0, n_micro: int = 1):
+                 num_classes: int = 10, seed: int = 0, n_micro: int = 1,
+                 style: str = "blobs"):
         import jax
         import jax.numpy as jnp
 
+        if style not in ("blobs", "rich"):
+            raise ValueError(f"unknown synthetic style {style!r}")
         self.batch_size = batch_size
         cxy, color, sigma = _class_table(num_classes)
         cxy, color, sigma = jnp.asarray(cxy), jnp.asarray(color), jnp.asarray(sigma)
@@ -98,7 +162,7 @@ class DeviceFakeImages:
         yy, xx = grid[0], grid[1]
         n_table = len(sigma)
 
-        def gen(rng):
+        def gen_blobs(rng):
             rng_l, rng_j, rng_n = jax.random.split(rng, 3)
             shape = (n_micro, batch_size)
             lab = jax.random.randint(rng_l, shape, 0, num_classes) % n_table
@@ -116,7 +180,25 @@ class DeviceFakeImages:
             return {"image": jnp.clip(img, -1, 1),
                     "label": lab.astype(jnp.int32)}
 
-        self._gen = jax.jit(gen)
+        def gen_rich(rng):
+            ks = jax.random.split(rng, 8)
+            shape = (n_micro, batch_size)
+            K = _RICH_BLOBS
+            lab = jax.random.randint(ks[0], shape, 0, num_classes) % n_table
+            u = lambda k, lo, hi, sh: jax.random.uniform(
+                k, shape + sh, minval=lo, maxval=hi)
+            img = _compose_rich(
+                jnp, xx, yy, color[lab],
+                centers=u(ks[1], 0.15, 0.85, (K, 2)),
+                sigmas=u(ks[2], 0.05, 0.16, (K, 2)),
+                weights=u(ks[3], 0.3, 1.0, (K,)),
+                colors=u(ks[4], -1, 1, (K, 3)),
+                bg_color=u(ks[5], -0.4, 0.4, (3,)),
+                bg_dir=u(ks[6], -1, 1, (2,)),
+                noise=0.05 * jax.random.normal(ks[7], shape + (s, s, 3)))
+            return {"image": img, "label": lab.astype(jnp.int32)}
+
+        self._gen = jax.jit(gen_rich if style == "rich" else gen_blobs)
         self._rng = jax.random.PRNGKey(seed)
 
     def __iter__(self):

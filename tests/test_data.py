@@ -92,3 +92,32 @@ def test_microbatch_stack_shapes():
     assert b["image"].shape == (3, 4, 8, 8, 3)
     b1 = next(iter(data.microbatch_stack(src, 1)))
     assert b1["image"].shape == (1, 4, 8, 8, 3)
+
+def test_rich_style_twins_match_distribution():
+    """'rich' host and device twins: same shapes/range and matching low-order
+    moments (distribution twins, not bitwise)."""
+    import jax
+    from gan_lib_tensorflow_tpu import data
+
+    h = np.concatenate([
+        next(iter(data.FakeImages(batch_size=256, image_size=16,
+                                  style="rich", seed=s)))["image"]
+        for s in range(2)])
+    d = np.asarray(jax.device_get(next(iter(data.DeviceFakeImages(
+        batch_size=512, image_size=16, style="rich", seed=9)))["image"]))[0]
+    assert h.shape == (512, 16, 16, 3) and d.shape == (512, 16, 16, 3)
+    assert h.min() >= -1 and h.max() <= 1
+    assert abs(h.mean() - d.mean()) < 0.02
+    assert abs(h.std() - d.std()) < 0.02
+    # intrinsic diversity: per-image means must vary (the degenerate 'blobs'
+    # style is why long GAN soaks diverged; rich must not collapse like that)
+    per_img = h.reshape(512, -1).std(axis=1)
+    assert per_img.std() > 0.01
+
+
+def test_fake_style_validation():
+    from gan_lib_tensorflow_tpu import data
+    with pytest.raises(ValueError):
+        data.FakeImages(style="nope")
+    with pytest.raises(ValueError):
+        data.DeviceFakeImages(style="nope")
