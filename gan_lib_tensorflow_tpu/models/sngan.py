@@ -67,9 +67,15 @@ class ResNetGenerator(nn.Module):
 
 
 class ResNetDiscriminator(nn.Module):
+    """``fused=True`` (default) computes every down-block's conv2-then-pool as
+    one stride-2 conv with the smeared SN'd kernel and commutes the 1x1 skip
+    conv past the pool — algebraically exact, ~2.25x fewer MACs on the fused
+    convs, identical params/checkpoints (ops/blocks.py)."""
+
     channels: Tuple[int, ...] = (128, 128, 128, 128)
     downsample: Tuple[bool, ...] = (True, True, False, False)
     num_classes: int = 0          # >0 => projection discriminator
+    fused: bool = True
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -80,10 +86,12 @@ class ResNetDiscriminator(nn.Module):
                 f"({len(self.downsample)}) must have equal length")
         # the input block always downsamples (reference OptimizedBlock);
         # downsample[0] exists only to keep the tuples aligned
-        h = DiscOptimizedBlock(self.channels[0], compute_dtype=self.compute_dtype,
+        h = DiscOptimizedBlock(self.channels[0], fused=self.fused,
+                               compute_dtype=self.compute_dtype,
                                name="block0")(x, update_sn=update_sn)
         for i, (ch, down) in enumerate(zip(self.channels[1:], self.downsample[1:])):
-            h = DiscResBlock(ch, downsample=down, compute_dtype=self.compute_dtype,
+            h = DiscResBlock(ch, downsample=down, fused=self.fused,
+                             compute_dtype=self.compute_dtype,
                              name=f"block{i + 1}")(h, update_sn=update_sn)
         h = nn.relu(h)
         phi = global_sum_pool(h).astype(jnp.float32)

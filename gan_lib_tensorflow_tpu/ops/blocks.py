@@ -20,7 +20,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Conv, UpsampleConv, downsample_avg, upsample_nearest
+from .layers import (Conv, DownsampleConv, UpsampleConv, downsample_avg,
+                     upsample_nearest)
 from .norms import BatchNorm, ConditionalBatchNorm
 
 Dtype = Any
@@ -79,41 +80,68 @@ class GenResBlock(nn.Module):
 
 class DiscResBlock(nn.Module):
     """SNGAN discriminator residual block: all convs spectral-normalized,
-    optional 2x average-pool downsample."""
+    optional 2x average-pool downsample.
+
+    ``fused=True`` (default) computes the downsampling paths algebraically
+    fused, bit-equal up to float reassociation (see ops.fused):
+
+    * conv2-then-pool becomes one stride-2 conv with the smeared SN'd kernel
+      (~2.25x fewer MACs and no full-res conv2 activation in HBM);
+    * the skip's 1x1-conv-then-pool becomes pool-then-1x1-conv (a 1x1 conv is
+      a per-pixel linear map, so it commutes with box averaging — 4x fewer
+      MACs, exact).
+
+    Params and sn-state names are identical in both modes, so checkpoints are
+    interchangeable."""
 
     features: int
     downsample: bool = False
     first_relu: bool = True
+    fused: bool = True
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, *, update_sn: bool = False):
         in_c = x.shape[-1]
         needs_proj = self.downsample or (in_c != self.features)
+        fused = self.fused and self.downsample
 
         h = nn.relu(x) if self.first_relu else x
         h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
                  name="conv1")(h, update_sn=update_sn)
         h = nn.relu(h)
-        h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
-                 name="conv2")(h, update_sn=update_sn)
-        if self.downsample:
-            h = downsample_avg(h)
+        if fused:
+            h = DownsampleConv(self.features, 3, spectral_norm=True,
+                               compute_dtype=self.compute_dtype,
+                               name="conv2")(h, update_sn=update_sn)
+        else:
+            h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
+                     name="conv2")(h, update_sn=update_sn)
+            if self.downsample:
+                h = downsample_avg(h)
 
         s = x
-        if needs_proj:
+        if fused and needs_proj:
             s = Conv(self.features, 1, spectral_norm=True, compute_dtype=self.compute_dtype,
-                     name="conv_skip")(s, update_sn=update_sn)
-        if self.downsample:
-            s = downsample_avg(s)
+                     name="conv_skip")(downsample_avg(s), update_sn=update_sn)
+        else:
+            if needs_proj:
+                s = Conv(self.features, 1, spectral_norm=True, compute_dtype=self.compute_dtype,
+                         name="conv_skip")(s, update_sn=update_sn)
+            if self.downsample:
+                s = downsample_avg(s)
         return h + s
 
 
 class DiscOptimizedBlock(nn.Module):
     """The special first (input) D block: conv before any ReLU; skip path pools
-    before its 1x1 conv (matching the reference's OptimizedBlock)."""
+    before its 1x1 conv (matching the reference's OptimizedBlock).
+
+    ``fused=True`` fuses conv2-then-pool into one stride-2 conv (exact; see
+    DiscResBlock). The skip already pools first in the reference layout."""
 
     features: int
+    fused: bool = True
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -121,9 +149,14 @@ class DiscOptimizedBlock(nn.Module):
         h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
                  name="conv1")(x, update_sn=update_sn)
         h = nn.relu(h)
-        h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
-                 name="conv2")(h, update_sn=update_sn)
-        h = downsample_avg(h)
+        if self.fused:
+            h = DownsampleConv(self.features, 3, spectral_norm=True,
+                               compute_dtype=self.compute_dtype,
+                               name="conv2")(h, update_sn=update_sn)
+        else:
+            h = Conv(self.features, 3, spectral_norm=True, compute_dtype=self.compute_dtype,
+                     name="conv2")(h, update_sn=update_sn)
+            h = downsample_avg(h)
 
         s = downsample_avg(x)
         s = Conv(self.features, 1, spectral_norm=True, compute_dtype=self.compute_dtype,

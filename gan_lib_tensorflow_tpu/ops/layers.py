@@ -241,6 +241,11 @@ class DownsampleConv(nn.Module):
     composed form. Set ``fused=False`` for explicit conv-then-downsample.
     The bias adds AFTER the downsample (a per-channel constant commutes with
     box averaging, so this is exact and cheaper at quarter resolution).
+
+    ``spectral_norm=True`` (SNGAN discriminator down-blocks) normalizes the
+    RAW kxk kernel by its sigma first and smears the normalized kernel —
+    identical to SN-conv-then-pool, since pooling commutes with the kernel
+    transform: pool(conv(x, W/sigma)) == stride2conv(x, smear(W)/sigma).
     """
 
     features: int
@@ -248,6 +253,8 @@ class DownsampleConv(nn.Module):
     use_bias: bool = True
     kernel_init: Union[str, Initializer] = initializers.he_normal
     bias_init: Initializer = initializers.zeros
+    spectral_norm: bool = False
+    sn_iters: int = 1
     equalized: bool = False
     lr_mul: float = 1.0
     gain: float = float(np.sqrt(2.0))
@@ -255,7 +262,7 @@ class DownsampleConv(nn.Module):
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
         from .fused import conv_downscale2x
 
         ksize = (self.kernel_size,) * 2
@@ -266,6 +273,8 @@ class DownsampleConv(nn.Module):
         kernel = self.param("kernel", kinit, kshape, jnp.float32)
         if self.equalized:
             kernel = kernel * (initializers.he_scale(kshape, self.gain) * self.lr_mul)
+        if self.spectral_norm:
+            kernel = spectral_normalize(self, kernel, update_sn, self.sn_iters)
         if self.fused:
             y = conv_downscale2x(x, kernel, compute_dtype=self.compute_dtype)
         else:

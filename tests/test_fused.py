@@ -123,3 +123,59 @@ def test_pggan_d_fused_from_param_compat():
     # lrelu/pool reorder (finite, same shape)
     y = d_fused.apply(v_plain, x)
     assert y.shape == (4, 1) and np.all(np.isfinite(np.asarray(y)))
+
+
+def test_sn_downsample_conv_matches_sn_conv_then_pool():
+    """SN'd DownsampleConv == SN-Conv then avg-pool, sharing the same params
+    and sn u-state (SNGAN D down-block fusion; sigma is computed on the raw
+    3x3 kernel in both paths)."""
+    from gan_lib_tensorflow_tpu.ops.layers import Conv, DownsampleConv
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 4))
+    fused = DownsampleConv(6, 3, spectral_norm=True)
+    composed = Conv(6, 3, spectral_norm=True)
+    variables = fused.init(jax.random.PRNGKey(9), x)
+    ref = ops.downsample_avg(composed.apply(variables, x))
+    got = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # u-state advances identically in both paths under update_sn
+    _, su_f = fused.apply(variables, x, update_sn=True, mutable=["sn"])
+    _, su_c = composed.apply(variables, x, update_sn=True, mutable=["sn"])
+    np.testing.assert_allclose(np.asarray(su_f["sn"]["u"]),
+                               np.asarray(su_c["sn"]["u"]), rtol=1e-6)
+
+
+def test_sngan_disc_blocks_fused_parity():
+    """Fused SNGAN D blocks == composed blocks with the SAME variables (exact
+    up to float reassociation): conv2+pool fusion and the commuted 1x1 skip."""
+    from gan_lib_tensorflow_tpu.ops.blocks import (DiscOptimizedBlock,
+                                                   DiscResBlock)
+
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 16, 3))
+    opt_f, opt_p = DiscOptimizedBlock(12, fused=True), DiscOptimizedBlock(12, fused=False)
+    v = opt_f.init(jax.random.PRNGKey(11), x)
+    np.testing.assert_allclose(np.asarray(opt_f.apply(v, x)),
+                               np.asarray(opt_p.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    h = jax.random.normal(jax.random.PRNGKey(12), (2, 16, 16, 12))
+    res_f = DiscResBlock(24, downsample=True, fused=True)
+    res_p = DiscResBlock(24, downsample=True, fused=False)
+    v = res_f.init(jax.random.PRNGKey(13), h)
+    v2 = res_p.init(jax.random.PRNGKey(13), h)
+    # identical param/sn structure in both modes (checkpoint compatibility)
+    assert (jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2))
+    np.testing.assert_allclose(np.asarray(res_f.apply(v, h)),
+                               np.asarray(res_p.apply(v, h)),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients through the fused block match the composed form
+    def loss(variables, blk):
+        return jnp.sum(jnp.square(blk.apply(variables, h)))
+
+    gf = jax.grad(loss)(v, res_f)
+    gp = jax.grad(loss)(v, res_p)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
