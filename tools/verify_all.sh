@@ -13,9 +13,11 @@ python -m gan_lib_tensorflow_tpu.cli.train_sngan --steps 20 --log-every 10 \
 python -m gan_lib_tensorflow_tpu.cli.train_sngan --steps 30 --log-every 10 \
   --sample-every 30 --ckpt-every 30 --out-dir "$OUT/sngan" --data device-fake | grep resumed
 
-echo "== 2. sample + evaluate from checkpoint =="
+echo "== 2. sample + serving export + evaluate from checkpoint =="
 python -m gan_lib_tensorflow_tpu.cli.sample --model sngan \
-  --ckpt-dir "$OUT/sngan/ckpt" --out "$OUT/sngan/grid.png" --n 16
+  --ckpt-dir "$OUT/sngan/ckpt" --out "$OUT/sngan/grid.png" --n 16 \
+  --export-dir "$OUT/sngan/export"
+test -s "$OUT/sngan/export/generator_stablehlo.bin"
 python -m gan_lib_tensorflow_tpu.cli.evaluate --model sngan \
   --ckpt-dir "$OUT/sngan/ckpt" --n-samples 500 --n-real 500 --data fake
 
