@@ -52,7 +52,7 @@ def main(argv=None):
         fused_from_resolution=args.fused_from)
 
     import os as _os
-    if args.data not in ("auto", "fake"):
+    if args.data not in ("auto", "fake", "fake-rich"):
         if not _os.path.isdir(args.data):
             raise FileNotFoundError(f"--data {args.data!r}: no such directory")
 
@@ -72,7 +72,8 @@ def main(argv=None):
             # fastest phases for nothing
             return data_lib.ThreadedSource(data_lib.FakeImages(
                 batch_size=batch, image_size=res, num_classes=1,
-                seed=args.seed))
+                seed=args.seed,
+                style="rich" if args.data == "fake-rich" else "blobs"))
 
     import jax
     from ..parallel import create_mesh
