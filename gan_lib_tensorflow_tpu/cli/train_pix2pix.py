@@ -26,17 +26,43 @@ from ..utils.html import write_gallery
 from . import common
 
 
-def paired_source(args):
-    if args.data in ("auto", "fake") or not os.path.isdir(args.data):
-        if args.data not in ("auto", "fake"):
+def paired_source(args, threaded: bool = True, num_workers: int = 2,
+                  n_micro: int = 1):
+    """Paired (input, target) source (reference: queue-runner threads,
+    SURVEY.md §3.2; ``ThreadedSource`` is the host-side equivalent).
+
+    On this single-core host the 256² numpy renderer (~24 ms/batch
+    uncontended, 300+ ms under concurrent load) cannot outrun the ~13 ms
+    fused device step and threads cannot help — so the ``device-fake`` /
+    ``device-det`` backends rasterize pairs in a jitted function on the
+    accelerator instead (``data.DeviceFakePairedImages``), the same design as
+    ``DeviceFakeImages`` for the class-conditional models. Host synthetics
+    remain for CPU tests and test-mode galleries."""
+    synth = ("auto", "fake", "fake-det", "device-fake", "device-det")
+    if args.data in synth or not os.path.isdir(args.data):
+        if args.data not in synth:
             raise FileNotFoundError(f"--data dir not found: {args.data}")
-        return data_lib.FakePairedImages(batch_size=args.batch_size,
-                                         image_size=args.image_size,
-                                         seed=args.seed)
-    return data_lib.PairedImageFolder(args.data, batch_size=args.batch_size,
-                                      image_size=args.image_size,
-                                      which_direction=args.which_direction,
-                                      seed=args.seed)
+        if args.data.startswith("device") and threaded:
+            # jitted on-device pair generation — ~0 host cost. Required for
+            # long synthetic runs: this host has ONE core and the numpy
+            # renderer alone costs more than the fused device step.
+            return data_lib.DeviceFakePairedImages(
+                batch_size=args.batch_size, image_size=args.image_size,
+                seed=args.seed, n_micro=n_micro,
+                deterministic_color=(args.data == "device-det"))
+        base = data_lib.FakePairedImages(
+            batch_size=args.batch_size, image_size=args.image_size,
+            seed=args.seed,
+            # '-det': colors are a fixed function of geometry, so the
+            # translator can actually learn them (see data/fake.py)
+            deterministic_color=args.data.endswith("-det"))
+    else:
+        base = data_lib.PairedImageFolder(
+            args.data, batch_size=args.batch_size,
+            image_size=args.image_size,
+            which_direction=args.which_direction, seed=args.seed)
+    # test mode needs the base source's deterministic eval_iter / ordering
+    return data_lib.ThreadedSource(base, num_workers=num_workers) if threaded else base
 
 
 def build(args):
@@ -79,10 +105,13 @@ def main(argv=None):
     if args.mode == "train":
         mesh = common.maybe_mesh(args)
         step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-        base_source = paired_source(args)
-        fixed = next(iter(base_source))
-        # decode/jitter on worker threads (the reference's queue-runner role)
-        source = data_lib.ThreadedSource(base_source)
+        # decode/jitter/render on worker threads (the reference's queue-runner
+        # role) or, for device-* synthetics, jitted on the accelerator
+        source = paired_source(args, n_micro=spec.n_micro)
+        fixed = next(iter(source))
+        if getattr(source, "yields_stacks", False):
+            import jax as _jax
+            fixed = {k: np.asarray(_jax.device_get(v))[0] for k, v in fixed.items()}
         translator = pix2pix.make_translator(g)
         from ..utils.logging import ScalarLogger
         logger = ScalarLogger(args.out_dir, curves=args.curves,
@@ -116,7 +145,7 @@ def main(argv=None):
         print(f"restored step {int(state.step)}", flush=True)
 
     if args.mode == "test":
-        source = paired_source(args)
+        source = paired_source(args, threaded=False)
         it = (source.eval_iter() if hasattr(source, "eval_iter")
               else iter(source))
         translator = pix2pix.make_translator(g)

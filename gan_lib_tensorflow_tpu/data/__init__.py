@@ -12,7 +12,8 @@ reference) with int32 labels where conditional.
 """
 
 from .base import DataSource, microbatch_stack
-from .fake import DeviceFakeImages, FakeImages, FakePairedImages
+from .fake import (DeviceFakeImages, DeviceFakePairedImages,
+                   FakeImages, FakePairedImages)
 from .cifar10 import Cifar10
 from .imagenet import ImageFolderByClass, ImageFolderFlat, ImageNetNpz
 from .paired import PairedImageFolder
@@ -22,6 +23,7 @@ from .pipeline import ThreadedSource
 __all__ = [
     "DataSource", "microbatch_stack",
     "FakeImages", "FakePairedImages", "DeviceFakeImages",
+    "DeviceFakePairedImages",
     "Cifar10", "ImageNetNpz", "ImageFolderByClass", "ImageFolderFlat",
     "PairedImageFolder",
     "MultiResolution",

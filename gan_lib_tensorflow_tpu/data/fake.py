@@ -211,12 +211,22 @@ class DeviceFakeImages:
 
 class FakePairedImages(DataSource):
     """Synthetic (input, target) pairs: target = colored shapes, input = its
-    'edges' (gradient magnitude) — a procedural edges2shoes stand-in."""
+    'edges' (gradient magnitude) — a procedural edges2shoes stand-in.
 
-    def __init__(self, batch_size: int = 1, image_size: int = 256, seed: int = 0):
+    ``deterministic_color=True`` makes each circle's color a fixed function of
+    its geometry (position + radius), so the target is fully *predictable*
+    from the edge input. With the default (random colors) the color channel is
+    irreducible noise and the L1-optimal translator regresses colors to the
+    mean — correct behavior, but it makes convergence artifacts look gray.
+    The deterministic variant lets a trained pix2pix demonstrate true
+    colorization (the geometry IS visible in the edges)."""
+
+    def __init__(self, batch_size: int = 1, image_size: int = 256, seed: int = 0,
+                 deterministic_color: bool = False):
         self.batch_size = batch_size
         self.image_size = image_size
         self.seed = seed
+        self.deterministic_color = deterministic_color
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)
@@ -229,10 +239,78 @@ class FakePairedImages(DataSource):
                 for _ in range(4):
                     cx, cy, r = rng.uniform(0.2, 0.8, 2).tolist() + [rng.uniform(0.05, 0.2)]
                     mask = ((xx - cx) ** 2 + (yy - cy) ** 2) < r**2
-                    img[mask] = rng.uniform(-1, 1, 3)
+                    if self.deterministic_color:
+                        # color := geometry (smooth, full-range): the edge map
+                        # determines it, so the translator can learn it
+                        color = np.array([2 * cx - 1, 2 * cy - 1,
+                                          (r - 0.05) / 0.15 * 2 - 1], np.float32)
+                    else:
+                        color = rng.uniform(-1, 1, 3)
+                    img[mask] = color
                 tgt[i] = img
             gx = np.abs(np.diff(tgt, axis=2, prepend=tgt[:, :, :1])).sum(-1, keepdims=True)
             gy = np.abs(np.diff(tgt, axis=1, prepend=tgt[:, :1])).sum(-1, keepdims=True)
             edges = np.clip((gx + gy), 0, 1) * 2 - 1
             inp = np.repeat(edges, 3, axis=-1).astype(np.float32)
             yield {"input": inp, "target": tgt}
+
+
+class DeviceFakePairedImages:
+    """On-device twin of ``FakePairedImages``: circle rasterization + edge
+    extraction jitted on the accelerator — zero host CPU per batch.
+
+    This host has a SINGLE core (measured: the numpy renderer costs
+    ~24 ms/batch uncontended and collapses to 300+ ms under any concurrent
+    load; threads cannot help on one core), so long pix2pix synthetic runs
+    must generate on device exactly like ``DeviceFakeImages`` does for the
+    class-conditional models. Same geometry/color math as the host twin
+    (distribution twins, not bitwise — different RNG streams).
+
+    Yields ``{"input", "target"}`` stacked ``[n_micro, B, H, W, 3]``.
+    """
+
+    yields_stacks = True
+
+    def __init__(self, batch_size: int = 1, image_size: int = 256,
+                 seed: int = 0, n_micro: int = 1,
+                 deterministic_color: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        s = image_size
+        grid = jnp.mgrid[0:s, 0:s].astype(jnp.float32) / max(s - 1, 1)
+        yy, xx = grid[0], grid[1]
+        self.batch_size = batch_size
+
+        def gen(rng):
+            shape = (n_micro, batch_size)
+            k_geo, k_col = jax.random.split(rng)
+            cxy = jax.random.uniform(k_geo, shape + (4, 2), minval=0.2, maxval=0.8)
+            r = jax.random.uniform(jax.random.fold_in(k_geo, 1), shape + (4,),
+                                   minval=0.05, maxval=0.2)
+            if deterministic_color:
+                color = jnp.stack([2 * cxy[..., 0] - 1, 2 * cxy[..., 1] - 1,
+                                   (r - 0.05) / 0.15 * 2 - 1], axis=-1)
+            else:
+                color = jax.random.uniform(k_col, shape + (4, 3), minval=-1, maxval=1)
+            tgt = jnp.full(shape + (s, s, 3), -1.0, jnp.float32)
+            for k in range(4):  # sequential paint: later circles overwrite
+                mask = ((xx - cxy[..., k, 0][..., None, None]) ** 2
+                        + (yy - cxy[..., k, 1][..., None, None]) ** 2
+                        ) < (r[..., k][..., None, None] ** 2)
+                tgt = jnp.where(mask[..., None], color[..., k, :][..., None, None, :], tgt)
+            gx = jnp.abs(jnp.diff(tgt, axis=-2, prepend=tgt[..., :, :1, :])).sum(-1)
+            gy = jnp.abs(jnp.diff(tgt, axis=-3, prepend=tgt[..., :1, :, :])).sum(-1)
+            edges = jnp.clip(gx + gy, 0, 1) * 2 - 1
+            inp = jnp.repeat(edges[..., None], 3, axis=-1)
+            return {"input": inp, "target": tgt}
+
+        self._gen = jax.jit(gen)
+        self._rng = jax.random.PRNGKey(seed)
+
+    def __iter__(self):
+        import jax
+        rng = self._rng
+        while True:
+            rng, sub = jax.random.split(rng)
+            yield self._gen(sub)

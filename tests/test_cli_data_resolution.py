@@ -55,3 +55,29 @@ def test_threaded_source_propagates_worker_errors():
     with pytest.raises(RuntimeError, match="worker failed"):
         for _ in range(5):
             next(it)
+
+
+def test_rich_styles_resolve():
+    src = common.image_source(_args("fake-rich"), 4, 8, 3)
+    assert isinstance(src, data.ThreadedSource)
+    b = next(iter(src))
+    assert b["image"].shape == (4, 8, 8, 3)
+    # device-rich on a single device returns the jitted on-device twin
+    src = common.image_source(_args("device-rich"), 4, 8, 3, n_micro=2)
+    assert isinstance(src, data.DeviceFakeImages)
+    b = next(iter(src))
+    assert b["image"].shape == (2, 4, 8, 8, 3)
+
+
+def test_paired_deterministic_color_is_a_function_of_geometry():
+    """fake-det: same geometry (seed) => same colors; the color channel is
+    predictable from the edges, unlike the default random-color pairs."""
+    a = next(iter(data.FakePairedImages(batch_size=2, image_size=32, seed=7,
+                                        deterministic_color=True)))
+    b = next(iter(data.FakePairedImages(batch_size=2, image_size=32, seed=7,
+                                        deterministic_color=True)))
+    np.testing.assert_array_equal(a["target"], b["target"])
+    assert a["input"].shape == a["target"].shape == (2, 32, 32, 3)
+    # non-background pixels carry non-gray color (the learnable signal)
+    fg = a["target"][a["target"] != -1.0]
+    assert fg.size > 0 and np.std(fg) > 0.1

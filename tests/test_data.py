@@ -121,3 +121,28 @@ def test_fake_style_validation():
         data.FakeImages(style="nope")
     with pytest.raises(ValueError):
         data.DeviceFakeImages(style="nope")
+
+
+def test_paired_device_twin_matches_host_distribution():
+    """DeviceFakePairedImages == FakePairedImages distributionally: same
+    shapes/range, matching edge-input statistics, deterministic colors agree
+    as a function of geometry (not bitwise — independent RNG streams)."""
+    import jax
+    from gan_lib_tensorflow_tpu import data
+
+    host = np.concatenate([b["target"] for b, _ in zip(
+        iter(data.FakePairedImages(batch_size=8, image_size=32, seed=3,
+                                   deterministic_color=True)), range(8))])
+    dev = next(iter(data.DeviceFakePairedImages(
+        batch_size=64, image_size=32, seed=11, n_micro=1,
+        deterministic_color=True)))
+    d_inp = np.asarray(jax.device_get(dev["input"]))[0]
+    d_tgt = np.asarray(jax.device_get(dev["target"]))[0]
+    assert d_inp.shape == d_tgt.shape == (64, 32, 32, 3)
+    assert d_tgt.min() >= -1 and d_tgt.max() <= 1
+    # background fraction and overall moments line up between the twins
+    assert abs((host == -1).mean() - (d_tgt == -1).mean()) < 0.1
+    assert abs(host.mean() - d_tgt.mean()) < 0.1
+    # the edge input is grayscale (3 equal channels) and mostly background
+    assert np.allclose(d_inp[..., 0], d_inp[..., 1])
+    assert (d_inp == -1).mean() > 0.5
