@@ -74,15 +74,7 @@ def main(argv=None):
 def export_generator(args, g, state):
     """Write the serving bundle (see module docstring). EMA params are used
     when the checkpoint carries them, matching the sampling path."""
-    from jax import export as jexport
-
-    ex_ckpt = CheckpointManager(args.export_dir)
-    ex_ckpt.save(int(state.step),
-                 {"g_params": state.g_params, "g_state": state.g_state,
-                  **({"ema_params": state.ema_params}
-                     if state.ema_params is not None else {})},
-                 wait=True)
-    ex_ckpt.close()
+    from ..train.export import write_serving_bundle
 
     params = state.ema_params if state.ema_params is not None else state.g_params
     n = args.n
@@ -101,13 +93,12 @@ def export_generator(args, g, state):
         def serve(z):
             return g.apply({"params": params, **state.g_state}, z, train=False)
 
-    exported = jexport.export(jax.jit(serve))(
-        jax.ShapeDtypeStruct((n, g.z_dim), jnp.float32))
-    path = os.path.join(args.export_dir, "generator_stablehlo.bin")
-    with open(path, "wb") as f:
-        f.write(exported.serialize())
-    print(f"exported generator to {args.export_dir} "
-          f"(orbax params + {os.path.basename(path)})", flush=True)
+    write_serving_bundle(
+        args.export_dir, int(state.step),
+        {"g_params": state.g_params, "g_state": state.g_state,
+         **({"ema_params": state.ema_params}
+            if state.ema_params is not None else {})},
+        serve, jax.ShapeDtypeStruct((n, g.z_dim), jnp.float32))
 
 
 if __name__ == "__main__":

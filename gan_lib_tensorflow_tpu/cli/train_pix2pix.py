@@ -43,13 +43,21 @@ def paired_source(args, threaded: bool = True, num_workers: int = 2,
         if args.data not in synth:
             raise FileNotFoundError(f"--data dir not found: {args.data}")
         if args.data.startswith("device") and threaded:
-            # jitted on-device pair generation — ~0 host cost. Required for
-            # long synthetic runs: this host has ONE core and the numpy
-            # renderer alone costs more than the fused device step.
-            return data_lib.DeviceFakePairedImages(
-                batch_size=args.batch_size, image_size=args.image_size,
-                seed=args.seed, n_micro=n_micro,
-                deterministic_color=(args.data == "device-det"))
+            import jax as _jax
+            if not args.no_mesh and _jax.device_count() > 1:
+                # single-device generator; mesh-sharded steps need host
+                # batches laid out by shard_batch (same rule as
+                # common.image_source for the class-conditional models)
+                print("note: device-* pairs are single-device; "
+                      "falling back to host fake", flush=True)
+            else:
+                # jitted on-device pair generation — ~0 host cost. Required
+                # for long synthetic runs: this host has ONE core and the
+                # numpy renderer alone costs more than the fused device step.
+                return data_lib.DeviceFakePairedImages(
+                    batch_size=args.batch_size, image_size=args.image_size,
+                    seed=args.seed, n_micro=n_micro,
+                    deterministic_color=(args.data == "device-det"))
         base = data_lib.FakePairedImages(
             batch_size=args.batch_size, image_size=args.image_size,
             seed=args.seed,
@@ -108,10 +116,16 @@ def main(argv=None):
         # decode/jitter/render on worker threads (the reference's queue-runner
         # role) or, for device-* synthetics, jitted on the accelerator
         source = paired_source(args, n_micro=spec.n_micro)
-        fixed = next(iter(source))
         if getattr(source, "yields_stacks", False):
-            import jax as _jax
-            fixed = {k: np.asarray(_jax.device_get(v))[0] for k, v in fixed.items()}
+            # device stream is seed-deterministic; take batch 0 for the fixed
+            # visualization triple (the instance RNG walks on, so training
+            # never re-sees it)
+            fixed = {k: np.asarray(jax.device_get(v))[0]
+                     for k, v in next(iter(source)).items()}
+        else:
+            # draw from an UNTHREADED twin so the fixed triple is a pure
+            # function of --seed (worker queue races are not reproducible)
+            fixed = next(iter(paired_source(args, threaded=False)))
         translator = pix2pix.make_translator(g)
         from ..utils.logging import ScalarLogger
         logger = ScalarLogger(args.out_dir, curves=args.curves,
@@ -172,20 +186,10 @@ def main(argv=None):
         return
 
     if args.mode == "export":
-        # Serving bundle, two artifacts (the reference exports a frozen
-        # meta-graph; the JAX equivalents are):
-        # 1. params checkpoint + re-jittable apply (orbax)
-        # 2. a serialized StableHLO module of the jitted generator with the
-        #    params baked in — loadable via jax.export.deserialize and
-        #    runnable with no model code at all
-        export_dir = os.path.join(args.out_dir, "export")
-        ex_ckpt = CheckpointManager(export_dir)
-        ex_ckpt.save(int(state.step),
-                     {"g_params": state.g_params, "g_state": state.g_state},
-                     wait=True)
-        ex_ckpt.close()
+        # Serving bundle (reference: frozen meta-graph) — see
+        # train/export.py for the two artifacts written
+        from ..train.export import write_serving_bundle
 
-        from jax import export as jexport
         g_vars = pix2pix.generator_variables(state)
         fixed_rng = jax.random.PRNGKey(0)
 
@@ -193,13 +197,10 @@ def main(argv=None):
             return g.apply(g_vars, inp, train=False, rngs={"dropout": fixed_rng})
 
         s = args.image_size
-        exported = jexport.export(jax.jit(serve))(
-            jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32))
-        path = os.path.join(export_dir, "generator_stablehlo.bin")
-        with open(path, "wb") as f:
-            f.write(exported.serialize())
-        print(f"exported generator to {export_dir} "
-              f"(orbax params + {os.path.basename(path)})", flush=True)
+        write_serving_bundle(
+            os.path.join(args.out_dir, "export"), int(state.step),
+            {"g_params": state.g_params, "g_state": state.g_state},
+            serve, jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32))
 
 
 if __name__ == "__main__":

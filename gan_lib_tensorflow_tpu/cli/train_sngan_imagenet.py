@@ -62,7 +62,12 @@ def main(argv=None):
 
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    if args.data not in ("auto", "fake") and os.path.exists(args.data):
+    synth = ("auto", "fake", "fake-rich", "device-fake", "device-rich")
+    if args.data not in synth:
+        # explicit path: resolve or fail loudly — never train on synthetic
+        # data the user didn't ask for (same rule as common.image_source)
+        if not os.path.exists(args.data):
+            raise FileNotFoundError(f"--data {args.data!r}: no such path")
         if args.data.endswith(".npz") or glob_has_npz(args.data):
             source = data_lib.ImageNetNpz(args.data, batch_size=args.batch_size,
                                           seed=args.seed)
@@ -72,9 +77,13 @@ def main(argv=None):
                 seed=args.seed)
         source = data_lib.ThreadedSource(source)
     else:
-        source = data_lib.ThreadedSource(data_lib.FakeImages(
-            batch_size=args.batch_size, image_size=128,
-            num_classes=args.num_classes, seed=args.seed))
+        if args.data == "auto":
+            args.data = "fake"
+        # device-* styles generate on the accelerator — mandatory for long
+        # runs here: 5x64 images of 128^2 per fused step is far beyond what
+        # the single-core host renderer can sustain (~3 s/step observed)
+        source = common.image_source(args, args.batch_size, 128,
+                                     args.num_classes, n_micro=spec.n_micro)
 
     sampler = sngan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

@@ -202,10 +202,14 @@ class DeviceFakeImages:
         self._rng = jax.random.PRNGKey(seed)
 
     def __iter__(self):
+        # The RNG walk lives on the INSTANCE, not the iterator: a second
+        # iter() (or an iter() after checkpoint-resume re-priming) continues
+        # the stream instead of replaying batch 0 — otherwise a "fixed" eval
+        # batch drawn up front would literally be training batch 0 and a
+        # resumed run would re-see its pre-crash data.
         import jax
-        rng = self._rng
         while True:
-            rng, sub = jax.random.split(rng)
+            self._rng, sub = jax.random.split(self._rng)
             yield self._gen(sub)
 
 
@@ -309,8 +313,8 @@ class DeviceFakePairedImages:
         self._rng = jax.random.PRNGKey(seed)
 
     def __iter__(self):
+        # instance-level RNG walk — see DeviceFakeImages.__iter__
         import jax
-        rng = self._rng
         while True:
-            rng, sub = jax.random.split(rng)
+            self._rng, sub = jax.random.split(self._rng)
             yield self._gen(sub)

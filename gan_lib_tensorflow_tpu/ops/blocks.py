@@ -121,7 +121,7 @@ class DiscResBlock(nn.Module):
                 h = downsample_avg(h)
 
         s = x
-        if fused and needs_proj:
+        if fused:  # fused => downsample => needs_proj
             s = Conv(self.features, 1, spectral_norm=True, compute_dtype=self.compute_dtype,
                      name="conv_skip")(downsample_avg(s), update_sn=update_sn)
         else:
