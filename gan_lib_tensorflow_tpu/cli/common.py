@@ -61,15 +61,17 @@ def maybe_mesh(args):
 
 
 def image_source(args, batch_size: int, image_size: int, num_classes: int,
-                 n_micro: int = 1):
+                 n_micro: int = 1, mesh=None):
     """Resolve --data to a DataSource.
 
     'auto' prefers real CIFAR-10 (threaded prefetcher), falling back to
     synthetic with a note; 'cifar10' requires it; an explicit PATH must exist
-    and resolve (cifar pickle dir) — a path never falls back silently;
-    'device-fake' / 'device-rich' generate batches on the accelerator
-    (single-device); 'fake' / 'fake-rich' are the host synthetic twins
-    ('rich' = the non-degenerate multi-blob style for long GAN runs)."""
+    and resolve (cifar pickle dir, or a prepacked uint8 memmap store from
+    tools/prepack_dataset.py) — a path never falls back silently;
+    'device-fake' / 'device-rich' generate batches on the accelerator —
+    mesh-native when ``mesh`` is passed (each chip renders its own 'data'
+    shard); 'fake' / 'fake-rich' are the host synthetic twins ('rich' = the
+    non-degenerate multi-blob style for long GAN runs)."""
     import os
     from .. import data
     if args.data in ("auto", "cifar10"):
@@ -81,14 +83,11 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
                 raise
             print("note: CIFAR-10 not found on disk; using synthetic data", flush=True)
     elif args.data in ("device-fake", "device-rich"):
-        if not args.no_mesh and jax.device_count() > 1:
-            print("note: device-fake is single-device; falling back to host fake",
-                  flush=True)
-        else:
-            return data.DeviceFakeImages(
-                batch_size=batch_size, image_size=image_size,
-                num_classes=num_classes, seed=args.seed, n_micro=n_micro,
-                style="rich" if args.data == "device-rich" else "blobs")
+        return data.DeviceFakeImages(
+            batch_size=batch_size, image_size=image_size,
+            num_classes=num_classes, seed=args.seed, n_micro=n_micro,
+            style="rich" if args.data == "device-rich" else "blobs",
+            mesh=mesh)
     elif args.data == "fake-rich":
         return data.ThreadedSource(
             data.FakeImages(batch_size=batch_size, image_size=image_size,
@@ -98,11 +97,17 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
         # explicit path: resolve or fail loudly — never train on synthetic
         # data the user didn't ask for
         if os.path.isdir(args.data):
+            if data.is_packed_dir(args.data):
+                # ONE prefetch worker: measured on this 1-core host the
+                # single worker overlaps at 14.6k img/s while 2+ workers
+                # collapse to <1k (page-cache + GIL thrash; docs/PERF.md)
+                return data.ThreadedSource(
+                    data.PackedImageStore(args.data, batch_size=batch_size,
+                                          seed=args.seed), num_workers=1)
             return data.ThreadedSource(
                 data.Cifar10(batch_size=batch_size, data_dir=args.data,
                              seed=args.seed))
         raise FileNotFoundError(f"--data {args.data!r}: no such directory")
     return data.ThreadedSource(
         data.FakeImages(batch_size=batch_size, image_size=image_size,
-                        num_classes=num_classes, seed=args.seed,
-                        style="rich" if args.data == "device-rich" else "blobs"))
+                        num_classes=num_classes, seed=args.seed))

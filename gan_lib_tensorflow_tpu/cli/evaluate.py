@@ -1,20 +1,34 @@
-"""IS/FID evaluation entry point (reference §3.4: generate 50k samples ->
-Inception softmax/pool3 -> IS 10-split mean±std, FID vs real moments).
+"""IS/FID/SWD evaluation entry point (reference §3.4: generate 50k samples ->
+Inception softmax/pool3 -> IS 10-split mean±std, FID vs real moments; PGGAN:
+Karras-style MS-SSIM diversity + sliced Wasserstein distance).
 
 Usage:
   python -m gan_lib_tensorflow_tpu.cli.evaluate --model sngan \
       --ckpt-dir runs/out/ckpt --n-samples 50000 --data fake \
-      [--inception-weights inception_v3.npz]
+      [--inception-weights inception_v3.npz] [--real-stats-npz stats.npz]
+
+  python -m gan_lib_tensorflow_tpu.cli.evaluate --model pggan \
+      --ckpt-dir runs/pg/ckpt --resolution 64 [--data <celeba-hq dir>]
 
 Without --inception-weights a seed-fixed random InceptionV3 is used: relative
 comparisons (across checkpoints of the same run) remain meaningful; absolute
 values are not Inception-comparable (documented in eval.inception_v3).
+
+``--real-stats-npz PATH`` caches the real-data moments: computed once and
+saved if PATH is missing, loaded (skipping the real pass entirely) when
+present — the reference recomputes real stats every eval invocation; a cached
+moment file is what makes the repeated-eval/north-star loop cheap.
+
+All feature and moment accumulation is on-device (eval.metrics); with >1
+visible device the batch shards over a 'data' mesh and XLA reduces the
+moments across chips.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -29,17 +43,92 @@ from ..train import CheckpointManager, eval_state_from_raw
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="sngan", choices=["sngan", "acgan"])
+    p.add_argument("--model", default="sngan",
+                   choices=["sngan", "acgan", "pggan"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--n-samples", type=int, default=50_000)
     p.add_argument("--batch-size", type=int, default=100)
-    p.add_argument("--data", default="auto", help="real-data source for FID moments")
+    p.add_argument("--data", default="auto", help="real-data source for FID/SWD")
     p.add_argument("--n-real", type=int, default=10_000)
     p.add_argument("--inception-weights", default=None)
+    p.add_argument("--real-stats-npz", default=None,
+                   help="cache file for real moments: saved on first run, "
+                        "loaded (real pass skipped) thereafter")
     p.add_argument("--num-classes", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resolution", type=int, default=64, help="pggan only")
+    p.add_argument("--width-mul", type=float, default=1.0, help="pggan only")
+    p.add_argument("--out-json", default=None,
+                   help="also write the result record to this file")
     args = p.parse_args(argv)
 
+    out = (eval_pggan(args) if args.model == "pggan"
+           else eval_is_fid(args))
+    line = json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in out.items()})
+    print(line)
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            f.write(line + "\n")
+
+
+def _mesh_or_none():
+    from ..parallel import create_mesh
+    return create_mesh() if jax.device_count() > 1 else None
+
+
+def _restore(args):
+    raw = CheckpointManager(args.ckpt_dir).restore_latest_raw()
+    if raw is None:
+        raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+    return eval_state_from_raw(raw)
+
+
+def _real_image_source(args, image_size: int = 32):
+    """Resolve --data for real moments; explicit paths fail loudly."""
+    if args.data == "fake":
+        return data_lib.FakeImages(batch_size=args.batch_size,
+                                   image_size=image_size, seed=args.seed), "synthetic"
+    if args.data in ("auto", "cifar10"):
+        try:
+            return data_lib.Cifar10(batch_size=args.batch_size,
+                                    seed=args.seed), "cifar10"
+        except FileNotFoundError:
+            if args.data == "cifar10":
+                raise
+            return data_lib.FakeImages(batch_size=args.batch_size,
+                                       image_size=image_size,
+                                       seed=args.seed), "synthetic"
+    if os.path.isdir(args.data):
+        return data_lib.Cifar10(batch_size=args.batch_size, data_dir=args.data,
+                                seed=args.seed), args.data
+    raise FileNotFoundError(f"--data {args.data!r}: no such directory")
+
+
+def real_moments(args, net, mesh=None):
+    """Real-data (mu, cov) with npz caching (--real-stats-npz)."""
+    cache = args.real_stats_npz
+    if cache and os.path.exists(cache):
+        d = np.load(cache)
+        if int(d["n_real"]) != args.n_real:
+            print(f"note: {cache} was computed with n_real={int(d['n_real'])}",
+                  flush=True)
+        return (d["mu"], d["cov"]), str(d["source"])
+    src, real_source = _real_image_source(args)
+    it = iter(src)
+    real_batches = (next(it)["image"]
+                    for _ in range(args.n_real // args.batch_size))
+    mu, cov = compute_statistics(net, real_batches, net.feature_dim, mesh=mesh)
+    if cache:
+        np.savez(cache, mu=mu, cov=cov, n_real=args.n_real,
+                 source=real_source,
+                 extractor=("inception_v3_pretrained" if args.inception_weights
+                            else "inception_v3_random_init"))
+        print(f"cached real moments to {cache}", flush=True)
+    return (mu, cov), real_source
+
+
+def eval_is_fid(args) -> dict:
     if args.model == "sngan":
         from ..models import sngan as m
         g = m.cifar_generator(num_classes=args.num_classes)
@@ -49,38 +138,10 @@ def main(argv=None):
         g = m.ACGANGenerator()
         sampler = m.make_sampler(g)
 
-    raw = CheckpointManager(args.ckpt_dir).restore_latest_raw()
-    if raw is None:
-        raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
-    state = eval_state_from_raw(raw)
-
+    state = _restore(args)
+    mesh = _mesh_or_none()
     net = InceptionV3Features(params_npz=args.inception_weights)
-
-    # real-data moments (explicit paths must resolve — never silently fake)
-    import os
-    if args.data == "fake":
-        src = data_lib.FakeImages(batch_size=args.batch_size, image_size=32,
-                                  seed=args.seed)
-        real_source = "synthetic"
-    elif args.data in ("auto", "cifar10"):
-        try:
-            src = data_lib.Cifar10(batch_size=args.batch_size, seed=args.seed)
-            real_source = "cifar10"
-        except FileNotFoundError:
-            if args.data == "cifar10":
-                raise
-            src = data_lib.FakeImages(batch_size=args.batch_size, image_size=32,
-                                      seed=args.seed)
-            real_source = "synthetic"
-    elif os.path.isdir(args.data):
-        src = data_lib.Cifar10(batch_size=args.batch_size, data_dir=args.data,
-                               seed=args.seed)
-        real_source = args.data
-    else:
-        raise FileNotFoundError(f"--data {args.data!r}: no such directory")
-    it = iter(src)
-    real_batches = (next(it)["image"] for _ in range(args.n_real // args.batch_size))
-    mu_r, cov_r = compute_statistics(net, real_batches, net.feature_dim)
+    (mu_r, cov_r), real_source = real_moments(args, net, mesh=mesh)
 
     def sample_batch(rng):
         return sampler(state, rng, args.batch_size)
@@ -88,13 +149,54 @@ def main(argv=None):
     out = evaluate_generator(
         sample_batch, net, net.feature_dim, n_samples=args.n_samples,
         batch_size=args.batch_size, rng=jax.random.PRNGKey(args.seed + 1),
-        real_stats=(mu_r, cov_r))
+        real_stats=(mu_r, cov_r), mesh=mesh)
     out["step"] = int(state.step)
     out["extractor"] = ("inception_v3_pretrained" if args.inception_weights
                         else "inception_v3_random_init")
     out["real_source"] = real_source
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in out.items()}))
+    return out
+
+
+def eval_pggan(args) -> dict:
+    """Karras-style PGGAN eval: MS-SSIM over generated pairs (diversity) +
+    SWD per pyramid level vs real data when a real source resolves."""
+    from ..eval import perceptual
+    from ..models import pggan as m
+
+    g = m.PGGANGenerator(resolution=args.resolution, width_mul=args.width_mul)
+    sampler = m.make_sampler(g)
+    state = _restore(args)
+    bs = min(args.batch_size, 16)
+
+    n_pairs = max(args.n_samples // 10, bs)
+    ms_mean, ms_std = perceptual.ms_ssim_diversity(
+        lambda r: sampler(state, r, 2 * bs),
+        jax.random.PRNGKey(args.seed), n_pairs=n_pairs, batch_size=bs)
+    out = {"ms_ssim": ms_mean, "ms_ssim_std": ms_std,
+           "ms_ssim_pairs": (n_pairs // bs) * bs,
+           "step": int(state.step), "resolution": args.resolution}
+
+    real_src = None
+    if os.path.isdir(args.data):
+        real_src = data_lib.ImageFolderFlat(
+            args.data, batch_size=bs, image_size=args.resolution,
+            seed=args.seed)
+    elif args.data != "auto":
+        print(f"note: --data {args.data!r} is not a directory; "
+              "skipping SWD (MS-SSIM only)", flush=True)
+    if real_src is not None:
+        n_b = max(args.n_samples // (10 * bs), 1)
+        it = iter(real_src)
+        rng = jax.random.PRNGKey(args.seed + 1)
+        fake = []
+        for i in range(n_b):
+            rng, sub = jax.random.split(rng)
+            fake.append(sampler(state, sub, bs))
+        out.update(perceptual.swd_pyramid(
+            (next(it)["image"] for _ in range(n_b)), iter(fake),
+            resolution=args.resolution, seed=args.seed))
+        out["swd_images"] = n_b * bs
+    return out
 
 
 if __name__ == "__main__":

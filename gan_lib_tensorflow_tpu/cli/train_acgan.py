@@ -47,7 +47,8 @@ def main(argv=None):
 
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    source = common.image_source(args, args.batch_size, 32, 10, n_micro=spec.n_micro)
+    source = common.image_source(args, args.batch_size, 32, 10,
+                                 n_micro=spec.n_micro, mesh=mesh)
 
     sampler = acgan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

@@ -51,30 +51,6 @@ def main(argv=None):
         remat_from_resolution=args.remat_from,
         fused_from_resolution=args.fused_from)
 
-    import os as _os
-    if args.data not in ("auto", "fake", "fake-rich"):
-        if not _os.path.isdir(args.data):
-            raise FileNotFoundError(f"--data {args.data!r}: no such directory")
-
-        def source_factory(res, batch):
-            # real images decode at full res once, then box-downsample
-            base = data_lib.ImageFolderFlat(
-                args.data, batch_size=batch,
-                image_size=args.final_resolution, seed=args.seed)
-            multi = data_lib.MultiResolution(
-                base=base, batch_size=batch,
-                max_resolution=args.final_resolution, resolution=res)
-            return data_lib.ThreadedSource(multi)
-    else:
-        def source_factory(res, batch):
-            # synthetic reals are generated directly at the phase resolution —
-            # rendering 1024^2 blobs to train a 4x4 phase would throttle the
-            # fastest phases for nothing
-            return data_lib.ThreadedSource(data_lib.FakeImages(
-                batch_size=batch, image_size=res, num_classes=1,
-                seed=args.seed,
-                style="rich" if args.data == "fake-rich" else "blobs"))
-
     import jax
     from ..parallel import create_mesh
     if args.sp_shards > 1:
@@ -85,6 +61,56 @@ def main(argv=None):
         mesh = create_mesh((n // args.sp_shards, args.sp_shards), ("data", "sp"))
     else:
         mesh = common.maybe_mesh(args)
+
+    import os as _os
+    synth = ("auto", "fake", "fake-rich", "device-fake", "device-rich")
+    if args.data not in synth:
+        if not _os.path.isdir(args.data):
+            raise FileNotFoundError(f"--data {args.data!r}: no such directory")
+        if data_lib.is_packed_dir(args.data) or data_lib.is_packed_dir(
+                _os.path.join(args.data, f"r{args.final_resolution:04d}")):
+
+            def source_factory(res, batch):
+                # prepacked pyramid (tools/prepack_dataset.py --resolutions):
+                # each phase reads its own-resolution uint8 memmap store
+                # through the native fused gather — zero per-step decode or
+                # downsample work at any rung
+                return data_lib.ThreadedSource(data_lib.open_pyramid(
+                    args.data, batch, res, seed=args.seed), num_workers=1)
+        else:
+
+            def source_factory(res, batch):
+                # raw image folder: decode at full res, then box-downsample —
+                # fine for smoke runs; prepack for reference-scale rates
+                base = data_lib.ImageFolderFlat(
+                    args.data, batch_size=batch,
+                    image_size=args.final_resolution, seed=args.seed)
+                multi = data_lib.MultiResolution(
+                    base=base, batch_size=batch,
+                    max_resolution=args.final_resolution, resolution=res)
+                return data_lib.ThreadedSource(multi)
+    elif args.data in ("device-fake", "device-rich"):
+
+        def source_factory(res, batch):
+            # jitted on-accelerator rendering at the phase resolution;
+            # mesh-native (batch over 'data', height over 'sp' when spatial
+            # sharding is on)
+            return data_lib.DeviceFakeImages(
+                batch_size=batch, image_size=res, num_classes=1,
+                seed=args.seed, n_micro=1,
+                style="rich" if args.data == "device-rich" else "blobs",
+                mesh=mesh, spatial_axis=cfg.spatial_axis)
+    else:
+
+        def source_factory(res, batch):
+            # synthetic reals are generated directly at the phase resolution —
+            # rendering 1024^2 blobs to train a 4x4 phase would throttle the
+            # fastest phases for nothing
+            return data_lib.ThreadedSource(data_lib.FakeImages(
+                batch_size=batch, image_size=res, num_classes=1,
+                seed=args.seed,
+                style="rich" if args.data == "fake-rich" else "blobs"))
+
     train_pggan_ladder(cfg, source_factory, mesh=mesh)
 
 

@@ -27,7 +27,7 @@ from . import common
 
 
 def paired_source(args, threaded: bool = True, num_workers: int = 2,
-                  n_micro: int = 1):
+                  n_micro: int = 1, mesh=None):
     """Paired (input, target) source (reference: queue-runner threads,
     SURVEY.md §3.2; ``ThreadedSource`` is the host-side equivalent).
 
@@ -36,28 +36,21 @@ def paired_source(args, threaded: bool = True, num_workers: int = 2,
     fused device step and threads cannot help — so the ``device-fake`` /
     ``device-det`` backends rasterize pairs in a jitted function on the
     accelerator instead (``data.DeviceFakePairedImages``), the same design as
-    ``DeviceFakeImages`` for the class-conditional models. Host synthetics
-    remain for CPU tests and test-mode galleries."""
+    ``DeviceFakeImages`` for the class-conditional models; with a mesh active
+    each chip rasterizes its own 'data' shard. Host synthetics remain for CPU
+    tests and test-mode galleries."""
     synth = ("auto", "fake", "fake-det", "device-fake", "device-det")
     if args.data in synth or not os.path.isdir(args.data):
         if args.data not in synth:
             raise FileNotFoundError(f"--data dir not found: {args.data}")
         if args.data.startswith("device") and threaded:
-            import jax as _jax
-            if not args.no_mesh and _jax.device_count() > 1:
-                # single-device generator; mesh-sharded steps need host
-                # batches laid out by shard_batch (same rule as
-                # common.image_source for the class-conditional models)
-                print("note: device-* pairs are single-device; "
-                      "falling back to host fake", flush=True)
-            else:
-                # jitted on-device pair generation — ~0 host cost. Required
-                # for long synthetic runs: this host has ONE core and the
-                # numpy renderer alone costs more than the fused device step.
-                return data_lib.DeviceFakePairedImages(
-                    batch_size=args.batch_size, image_size=args.image_size,
-                    seed=args.seed, n_micro=n_micro,
-                    deterministic_color=(args.data == "device-det"))
+            # jitted on-device pair generation — ~0 host cost. Required
+            # for long synthetic runs: this host has ONE core and the
+            # numpy renderer alone costs more than the fused device step.
+            return data_lib.DeviceFakePairedImages(
+                batch_size=args.batch_size, image_size=args.image_size,
+                seed=args.seed, n_micro=n_micro,
+                deterministic_color=(args.data == "device-det"), mesh=mesh)
         base = data_lib.FakePairedImages(
             batch_size=args.batch_size, image_size=args.image_size,
             seed=args.seed,
@@ -115,11 +108,14 @@ def main(argv=None):
         step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
         # decode/jitter/render on worker threads (the reference's queue-runner
         # role) or, for device-* synthetics, jitted on the accelerator
-        source = paired_source(args, n_micro=spec.n_micro)
+        source = paired_source(args, n_micro=spec.n_micro, mesh=mesh)
         if getattr(source, "yields_stacks", False):
-            # device stream is seed-deterministic; take batch 0 for the fixed
-            # visualization triple (the instance RNG walks on, so training
-            # never re-sees it)
+            # draw the fixed visualization triple from a reserved stream
+            # position (2^31-1 — fold_in needs a non-negative int32, and no
+            # training run reaches that step count): the train loop re-primes
+            # the counter to the resumed step, so training batches
+            # (positions 0,1,...) never include it
+            source.set_stream_position(2**31 - 1)
             fixed = {k: np.asarray(jax.device_get(v))[0]
                      for k, v in next(iter(source)).items()}
         else:

@@ -76,7 +76,9 @@ def main(argv=None):
     g, d, spec, g_optim, d_optim, state = build(args)
     mesh = common.maybe_mesh(args)
     step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
-    source = common.image_source(args, args.batch_size, 32, max(args.num_classes, 10), n_micro=spec.n_micro)
+    source = common.image_source(args, args.batch_size, 32,
+                                 max(args.num_classes, 10),
+                                 n_micro=spec.n_micro, mesh=mesh)
 
     sampler = sngan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)
@@ -88,27 +90,28 @@ def main(argv=None):
 
     eval_fn = None
     if args.eval_every:
-        from ..eval import MomentAccumulator, evaluate_generator
+        from ..eval import compute_statistics, evaluate_generator
         from ..eval.inception_v3 import InceptionV3Features
         net = InceptionV3Features(params_npz=args.inception_weights)
         eval_bs = 100
         real_src = iter(common.image_source(args, eval_bs, 32,
                                             max(args.num_classes, 10)))
-        acc = MomentAccumulator(net.feature_dim)
-        for _ in range(max(args.eval_samples // eval_bs, 1)):
-            img = next(real_src)["image"]
-            img = jnp.asarray(img)
-            if img.ndim == 5:  # [n_micro, B, ...] stack sources
-                img = img[0]
-            feats, _ = net(img)
-            acc.update(jax.device_get(feats))
-        real_stats = acc.finalize()
+
+        def real_batches():
+            for _ in range(max(args.eval_samples // eval_bs, 1)):
+                img = jnp.asarray(next(real_src)["image"])
+                yield img[0] if img.ndim == 5 else img  # unstack n_micro
+
+        # on-device moment accumulation (features never reach host)
+        real_stats = compute_statistics(net, real_batches(), net.feature_dim,
+                                        mesh=mesh)
 
         def eval_fn(st, it):
             return evaluate_generator(
                 lambda r: sampler(st, r, eval_bs), net, net.feature_dim,
                 n_samples=args.eval_samples, batch_size=eval_bs,
-                rng=jax.random.PRNGKey(args.seed + it), real_stats=real_stats)
+                rng=jax.random.PRNGKey(args.seed + it), real_stats=real_stats,
+                mesh=mesh)
 
     cfg = LoopConfig(total_steps=args.steps, log_every=args.log_every,
                      sample_every=args.sample_every,

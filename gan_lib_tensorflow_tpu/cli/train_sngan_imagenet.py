@@ -68,14 +68,21 @@ def main(argv=None):
         # data the user didn't ask for (same rule as common.image_source)
         if not os.path.exists(args.data):
             raise FileNotFoundError(f"--data {args.data!r}: no such path")
-        if args.data.endswith(".npz") or glob_has_npz(args.data):
-            source = data_lib.ImageNetNpz(args.data, batch_size=args.batch_size,
-                                          seed=args.seed)
+        if data_lib.is_packed_dir(args.data):
+            # prepacked uint8 memmap store (tools/prepack_dataset.py) — the
+            # only real-data path that feeds the measured step rate on this
+            # host (docs/PERF.md input-pipeline law). ONE prefetch worker:
+            # 14.6k img/s measured vs <1k with 2+ (single-core thrash)
+            source = data_lib.ThreadedSource(data_lib.PackedImageStore(
+                args.data, batch_size=args.batch_size, seed=args.seed),
+                num_workers=1)
+        elif args.data.endswith(".npz") or glob_has_npz(args.data):
+            source = data_lib.ThreadedSource(data_lib.ImageNetNpz(
+                args.data, batch_size=args.batch_size, seed=args.seed))
         else:
-            source = data_lib.ImageFolderByClass(
+            source = data_lib.ThreadedSource(data_lib.ImageFolderByClass(
                 args.data, batch_size=args.batch_size, image_size=128,
-                seed=args.seed)
-        source = data_lib.ThreadedSource(source)
+                seed=args.seed))
     else:
         if args.data == "auto":
             args.data = "fake"
@@ -83,7 +90,8 @@ def main(argv=None):
         # runs here: 5x64 images of 128^2 per fused step is far beyond what
         # the single-core host renderer can sustain (~3 s/step observed)
         source = common.image_source(args, args.batch_size, 128,
-                                     args.num_classes, n_micro=spec.n_micro)
+                                     args.num_classes, n_micro=spec.n_micro,
+                                     mesh=mesh)
 
     sampler = sngan.make_sampler(g)
     sample_rng = jax.random.PRNGKey(args.seed + 1)

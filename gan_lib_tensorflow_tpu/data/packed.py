@@ -1,0 +1,120 @@
+"""Prepacked uint8 memmap image store — the reference-scale real-data path.
+
+The reference decodes JPEGs per batch on the host (queue runners /
+feed_dict); on this single-core host that caps at ~10^2 img/s, two orders of
+magnitude below what the measured TPU step rates consume (docs/PERF.md
+"single-core host input-pipeline law"). The TPU-native answer is to pay the
+decode cost ONCE (tools/prepack_dataset.py: folder/npz -> uint8 memmap store,
+optionally a resolution pyramid for the PGGAN ladder) and make the per-step
+path a fused native gather+normalize out of a page-cached memmap — the same
+code path that feeds CIFAR-10 at 131.6k img/s.
+
+Store layout (one directory):
+  meta.json   {"n", "height", "width", "channels", "num_classes", ...}
+  images.u8   raw [N, H, W, C] uint8, C-contiguous (np.memmap'd read-only)
+  labels.npy  int32 [N] (absent for unlabeled/flat datasets)
+
+A 60 GB ImageNet-128 store stays on disk: RSS is bounded by the page cache's
+working set, not the dataset (tests assert the mapping is not resident).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .base import DataSource
+
+META_NAME = "meta.json"
+
+
+def is_packed_dir(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, META_NAME))
+
+
+def write_store(out_dir: str, n: int, height: int, width: int,
+                channels: int = 3, classes=None):
+    """Create a store for incremental writing; returns (images_memmap,
+    labels_array or None). Caller fills them then calls ``finalize_store``."""
+    os.makedirs(out_dir, exist_ok=True)
+    images = np.memmap(os.path.join(out_dir, "images.u8"), np.uint8, "w+",
+                       shape=(n, height, width, channels))
+    labels = None if classes is None else np.zeros((n,), np.int32)
+    meta = {"n": n, "height": height, "width": width, "channels": channels,
+            "num_classes": 0 if classes is None else len(classes),
+            "classes": classes, "format": "ganpack-v1"}
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f)
+    return images, labels
+
+
+def finalize_store(out_dir: str, images: np.memmap,
+                   labels: Optional[np.ndarray]) -> None:
+    images.flush()
+    if labels is not None:
+        np.save(os.path.join(out_dir, "labels.npy"), labels)
+
+
+class PackedImageStore(DataSource):
+    """Shuffled infinite batches out of a prepacked store.
+
+    Batch assembly = ONE native fused gather+normalize over the read-only
+    memmap (uint8 -> float32 [-1,1]); indices are sorted within each batch so
+    the page-cache access pattern is quasi-sequential (order within a shuffled
+    training batch is irrelevant; label pairing is preserved).
+    """
+
+    def __init__(self, path: str, batch_size: int = 64, seed: int = 0):
+        meta_path = os.path.join(path, META_NAME)
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"not a packed store (no {META_NAME}): {path}")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        m = self.meta
+        self.images = np.memmap(
+            os.path.join(path, "images.u8"), np.uint8, "r",
+            shape=(m["n"], m["height"], m["width"], m["channels"]))
+        labels_path = os.path.join(path, "labels.npy")
+        self.labels = np.load(labels_path) if os.path.exists(labels_path) else None
+        self.num_classes = m.get("num_classes", 0)
+        self.image_size = m["height"]
+        self.batch_size = batch_size
+        self.seed = seed
+        self.path = path
+
+    def __len__(self) -> int:
+        return int(self.meta["n"])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from . import native
+        rng = np.random.default_rng(self.seed)
+        n = len(self)
+        while True:
+            order = rng.permutation(n)
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                idx = np.sort(order[i:i + self.batch_size])
+                out = {"image": native.gather_normalize(self.images, idx)}
+                if self.labels is not None:
+                    out["label"] = self.labels[idx]
+                yield out
+
+
+def open_pyramid(path: str, batch_size: int, resolution: int,
+                 seed: int = 0) -> PackedImageStore:
+    """Open the ``r{resolution:04d}/`` member of a pyramid store written by
+    ``tools/prepack_dataset.py --resolutions`` (falls back to ``path`` itself
+    when it is a single-resolution store of the right size)."""
+    sub = os.path.join(path, f"r{resolution:04d}")
+    if is_packed_dir(sub):
+        return PackedImageStore(sub, batch_size=batch_size, seed=seed)
+    if is_packed_dir(path):
+        store = PackedImageStore(path, batch_size=batch_size, seed=seed)
+        if store.image_size != resolution:
+            raise ValueError(
+                f"store {path} is {store.image_size}px, wanted {resolution}px "
+                f"and no r{resolution:04d}/ member exists")
+        return store
+    raise FileNotFoundError(f"no packed store at {path} (or {sub})")

@@ -11,14 +11,17 @@ extractor's.
 """
 
 from .metrics import (
+    DeviceEvalAccumulator,
     MomentAccumulator,
     compute_statistics,
     evaluate_generator,
     frechet_distance,
     inception_score_from_probs,
 )
+from . import perceptual
 
 __all__ = [
-    "MomentAccumulator", "compute_statistics", "evaluate_generator",
-    "frechet_distance", "inception_score_from_probs",
+    "DeviceEvalAccumulator", "MomentAccumulator", "compute_statistics",
+    "evaluate_generator", "frechet_distance", "inception_score_from_probs",
+    "perceptual",
 ]

@@ -31,7 +31,6 @@ class ACGANGenerator(nn.Module):
     num_classes: int = 10
     z_dim: int = 110
     base_ch: int = 384
-    axis_name: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -44,7 +43,7 @@ class ACGANGenerator(nn.Module):
         for i, ch in enumerate((self.base_ch // 2, self.base_ch // 4)):
             h = ConvTranspose(ch, 5, strides=2, compute_dtype=self.compute_dtype,
                               name=f"deconv{i}")(h)
-            h = BatchNorm(axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+            h = BatchNorm(compute_dtype=self.compute_dtype,
                           name=f"bn{i}")(h, use_running_average=not train)
             h = nn.relu(h)
         h = ConvTranspose(3, 5, strides=2, compute_dtype=self.compute_dtype,
@@ -130,10 +129,15 @@ def make_acgan_spec(
     return GANSpec(d_loss=d_loss, g_loss=g_loss, n_critic=1, shared_batch=True)
 
 
-def make_sampler(g_model: ACGANGenerator):
+def make_sampler(g_model: ACGANGenerator, use_ema: bool = True):
+    """Sampler prefers EMA params when the state carries them — consistent
+    with sngan/pggan so ``cli.sample --export-dir`` exports exactly what the
+    sampled grid shows (advisor r2 finding)."""
     def sample(state, rng, n):
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.g_params
         z = jax.random.normal(rng, (n, g_model.z_dim))
         labels = jnp.arange(n) % g_model.num_classes
-        return g_model.apply({"params": state.g_params, **state.g_state},
+        return g_model.apply({"params": params, **state.g_state},
                              z, labels, train=False)
     return jax.jit(sample, static_argnums=2)

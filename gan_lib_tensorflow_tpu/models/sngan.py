@@ -46,7 +46,6 @@ class ResNetGenerator(nn.Module):
     bottom: int = 4
     z_dim: int = 128
     num_classes: int = 0          # >0 => conditional BN in every block
-    axis_name: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -57,9 +56,9 @@ class ResNetGenerator(nn.Module):
         for i, ch in enumerate(self.channels):
             h = GenResBlock(
                 ch, upsample=True, num_classes=self.num_classes,
-                axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype,
                 name=f"block{i}")(h, labels, train=train)
-        h = BatchNorm(axis_name=self.axis_name, compute_dtype=self.compute_dtype,
+        h = BatchNorm(compute_dtype=self.compute_dtype,
                       name="bn_out")(h, use_running_average=not train)
         h = nn.relu(h)
         h = Conv(3, 3, compute_dtype=self.compute_dtype, name="conv_out")(h)

@@ -34,15 +34,14 @@ class GenResBlock(nn.Module):
     features: int
     upsample: bool = False
     num_classes: int = 0  # 0 => unconditional BN
-    axis_name: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
     def _bn(self, name):
         if self.num_classes > 0:
             return ConditionalBatchNorm(
-                self.num_classes, axis_name=self.axis_name,
+                self.num_classes,
                 compute_dtype=self.compute_dtype, name=name)
-        return BatchNorm(axis_name=self.axis_name, compute_dtype=self.compute_dtype, name=name)
+        return BatchNorm(compute_dtype=self.compute_dtype, name=name)
 
     @nn.compact
     def __call__(self, x, labels=None, *, train: bool = True):

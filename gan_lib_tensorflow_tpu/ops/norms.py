@@ -13,9 +13,12 @@ Reference surface in watsonyanghx/GAN_Lib_Tensorflow:
 TPU-native notes:
 * Running stats live in the ``'batch_stats'`` collection — explicit pytree
   state instead of TF1 moving-average update ops.
-* ``axis_name='data'`` turns BN into cross-replica sync-BN under
-  ``shard_map``/``pmap`` via ``lax.pmean``; under plain jit+NamedSharding the
-  batch mean already spans the global batch, so leave it None there.
+* BN-under-DP semantics: the framework runs every step under jit+GSPMD
+  with the batch dim sharded over 'data', so the per-step batch mean/var
+  computed here ARE the global-batch statistics (XLA inserts the cross-chip
+  reduction for the full-batch jnp.mean). No separate sync-BN code path
+  exists — an ``axis_name``/``lax.pmean`` variant would only be legal inside
+  shard_map/pmap, which this framework never uses (see docs/DESIGN.md).
 * All stat math in float32 regardless of compute dtype (bf16-safe).
 """
 
@@ -45,7 +48,6 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
-    axis_name: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -63,9 +65,6 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -93,7 +92,6 @@ class ConditionalBatchNorm(nn.Module):
     use_running_average: Optional[bool] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
-    axis_name: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -110,7 +108,6 @@ class ConditionalBatchNorm(nn.Module):
             epsilon=self.epsilon,
             use_scale=False,
             use_bias=False,
-            axis_name=self.axis_name,
             compute_dtype=jnp.float32,
             name="bn",
         )(x, use_running_average)

@@ -63,6 +63,10 @@ def train_loop(
             print(f"resumed from step {int(state.step)}", flush=True)
 
     start_step = int(state.step)
+    if hasattr(source, "set_stream_position"):
+        # counter-based device sources: prime so post-resume batches match an
+        # uninterrupted run (one batch per step; VERDICT r2 item #8)
+        source.set_stream_position(start_step)
     if getattr(source, "yields_stacks", False):
         # device-resident source (e.g. DeviceFakeImages): already stacked,
         # nothing to transfer

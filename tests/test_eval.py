@@ -43,6 +43,86 @@ def test_inception_score_bounds():
     assert m2 > 8.0  # near the k=10 upper bound
 
 
+def test_device_accumulator_matches_host_oracles():
+    """DeviceEvalAccumulator's on-device moments AND split-statistic IS must
+    match the host float64 MomentAccumulator / inception_score_from_probs on
+    identical feature batches (VERDICT r2 item #1)."""
+    from gan_lib_tensorflow_tpu.eval.features import FixedFeatureNet
+    from gan_lib_tensorflow_tpu.eval.metrics import DeviceEvalAccumulator
+
+    net = FixedFeatureNet(image_size=16, feature_dim=32)
+    rng = np.random.default_rng(1)
+    n, bs, splits = 600, 50, 10
+    split_size = (n // splits * splits) // splits
+    imgs = rng.uniform(-1, 1, (n, 16, 16, 3)).astype(np.float32)
+
+    dev = DeviceEvalAccumulator(net, 32, splits=splits, split_size=split_size)
+    host = ev.MomentAccumulator(32)
+    probs = []
+    for chunk in np.split(imgs, n // bs):
+        dev.add_images(chunk)
+        feats, logits = net(chunk)
+        host.update(jax.device_get(feats))
+        probs.append(jax.device_get(jax.nn.softmax(logits, -1)))
+
+    mu_d, cov_d = dev.moments()
+    mu_h, cov_h = host.finalize()
+    np.testing.assert_allclose(mu_d, mu_h, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cov_d, cov_h, rtol=1e-4, atol=1e-6)
+
+    is_d, std_d = dev.inception_score()
+    is_h, std_h = ev.inception_score_from_probs(np.concatenate(probs), splits)
+    np.testing.assert_allclose(is_d, is_h, rtol=1e-5)
+    np.testing.assert_allclose(std_d, std_h, rtol=1e-4, atol=1e-6)
+
+
+def test_device_accumulator_mesh_sharded_matches_single_device():
+    """Same statistics whether accumulated single-device or sharded over the
+    8-virtual-device 'data' mesh (SURVEY §3.4: psum the activation moments)."""
+    from gan_lib_tensorflow_tpu.eval.features import FixedFeatureNet
+    from gan_lib_tensorflow_tpu.eval.metrics import DeviceEvalAccumulator
+    from gan_lib_tensorflow_tpu.parallel import create_mesh
+
+    net = FixedFeatureNet(image_size=16, feature_dim=32)
+    mesh = create_mesh()
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (128, 16, 16, 3)).astype(np.float32)
+
+    results = []
+    for m in (None, mesh):
+        acc = DeviceEvalAccumulator(net, 32, splits=4, split_size=32, mesh=m)
+        for chunk in np.split(imgs, 4):
+            acc.add_images(chunk)
+        results.append((*acc.moments(), *acc.inception_score()))
+    (mu_a, cov_a, is_a, std_a), (mu_b, cov_b, is_b, std_b) = results
+    np.testing.assert_allclose(mu_a, mu_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cov_a, cov_b, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(is_a, is_b, rtol=1e-5)
+    np.testing.assert_allclose(std_a, std_b, rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_generator_fused_sampling_end_to_end():
+    """evaluate_generator folds sampler+features into one jitted step and
+    reports the batch-quantization remainder in its JSON (VERDICT Weak #7)."""
+    from gan_lib_tensorflow_tpu.eval.features import FixedFeatureNet
+
+    net = FixedFeatureNet(image_size=16, feature_dim=32)
+
+    def sample(rng):
+        return jax.random.uniform(rng, (50, 16, 16, 3), minval=-1, maxval=1)
+
+    real = np.random.default_rng(3).uniform(
+        -1, 1, (400, 16, 16, 3)).astype(np.float32)
+    mu_r, cov_r = ev.compute_statistics(net, iter(np.split(real, 8)), 32)
+    out = ev.evaluate_generator(
+        sample, net, 32, n_samples=420, batch_size=50, splits=4,
+        real_stats=(mu_r, cov_r))
+    assert out["samples_evaluated"] == 400
+    assert out["samples_dropped"] == 20
+    assert np.isfinite(out["fid"]) and out["fid"] < 5.0  # same distribution
+    assert np.isfinite(out["inception_score"])
+
+
 def test_fixed_feature_net_separates_distributions():
     from gan_lib_tensorflow_tpu.eval.features import FixedFeatureNet
     net = FixedFeatureNet(image_size=16, feature_dim=32)

@@ -19,6 +19,10 @@ GOLDENS = {
     "pggan_g": (-0.067347, 0.590629),
     "pggan_d": (0.886208, 0.082662),
     "unet_g": (0.086939, 0.481073),
+    # recorded 2026-08-17 with the exact reference PatchGAN layout
+    # (pad1+VALID chain -> 30x30 at 256^2, 6x6 at the 64^2 golden size);
+    # no earlier golden existed for this head (round-3 changelog)
+    "patchgan_d": (0.42473, 0.889458),
 }
 
 # Fixed output slices (images: y[0,:3,:3,0]; logits: ravel()[:8]) at the same
@@ -35,6 +39,8 @@ GOLDEN_SLICES = {
     "pggan_d": [0.945251, 0.989273, 0.798648, 0.811662],
     "unet_g": [-0.082789, 0.007407, 0.357981, -0.156298, 0.806295, -0.593934,
                0.026325, 0.328704, -0.177315],
+    "patchgan_d": [1.997564, 0.623326, 0.032673, 2.839132, 0.075661,
+                   -0.481261, 0.667523, 0.39541, 1.919137],
 }
 
 
@@ -93,3 +99,12 @@ def test_unet_golden():
         {"params": jax.random.PRNGKey(12), "dropout": jax.random.PRNGKey(13)},
         x, train=True)
     _check("unet_g", y)
+
+
+def test_patchgan_golden():
+    d = pix2pix.PatchGANDiscriminator(base_ch=4)
+    a = jax.random.normal(jax.random.PRNGKey(47), (1, 64, 64, 3))
+    b = jax.random.normal(jax.random.PRNGKey(48), (1, 64, 64, 3))
+    y, _ = d.init_with_output(jax.random.PRNGKey(14), a, b, train=False)
+    assert y.shape == (1, 6, 6, 1)  # pad1+VALID chain at 64^2
+    _check("patchgan_d", y)

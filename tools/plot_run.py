@@ -18,6 +18,8 @@ def load_history(run_dir: str):
     with open(os.path.join(run_dir, "log.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
+            if "step" not in rec:  # config/header records carry no step
+                continue
             step = rec.pop("step")
             for k, v in rec.items():
                 hist.setdefault(k, []).append((step, v))
@@ -51,16 +53,19 @@ def main():
     ax0.set_title("losses")
     if has_fid:
         xs, ys = zip(*hist["fid"])
-        axes[1].plot(xs, ys, marker="o", label="FID")
+        handles = axes[1].plot(xs, ys, marker="o", label="FID")
         axes[1].set_xlabel("fused step")
         axes[1].set_ylabel("FID (fixed extractor)")
         axes[1].set_title("FID trend")
         if "inception_score" in hist:
             tw = axes[1].twinx()
             xs2, ys2 = zip(*hist["inception_score"])
-            tw.plot(xs2, ys2, color="tab:green", marker="s", label="IS")
+            handles += tw.plot(xs2, ys2, color="tab:green", marker="s",
+                               label="IS")
             tw.set_ylabel("IS")
-        axes[1].legend(loc="upper right")
+        # one merged legend: twin-axis handles don't show up in ax.legend()
+        axes[1].legend(handles, [h.get_label() for h in handles],
+                       loc="upper right")
     fig.suptitle(args.title)
     fig.tight_layout()
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)

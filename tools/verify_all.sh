@@ -41,7 +41,12 @@ echo "== 6. multichip dryrun (8 virtual CPU devices) =="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python -c "import jax; jax.config.update('jax_platforms','cpu'); import __graft_entry__ as e; e.dryrun_multichip(8)"
 
-echo "== 7. bench =="
+echo "== 7. north-star harness (smoke: synthetic stand-ins, UNGRADED) =="
+python -m gan_lib_tensorflow_tpu.cli.north_star --smoke \
+  --out-dir "$OUT/north_star" | tee "$OUT/north_star.out"
+grep -q "UNGRADED" "$OUT/north_star.out"
+
+echo "== 8. bench =="
 python bench.py
 
 echo "ALL VERIFICATION DRIVES PASSED"
