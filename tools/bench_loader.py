@@ -100,23 +100,49 @@ def main():
     row["rss_delta_mb"] = round(rss_mb() - base_rss, 1)
     print(json.dumps(row), flush=True)
 
+    # num_workers=1 is what the CLIs use (measured: 1 worker overlaps, 2+
+    # thrash on this single-core host)
     threaded = data.ThreadedSource(
-        data.PackedImageStore(store_dir, batch_size=args.batch, seed=0))
-    row2 = {"loader": "ThreadedSource(PackedImageStore)", "batch": args.batch}
+        data.PackedImageStore(store_dir, batch_size=args.batch, seed=0),
+        num_workers=1)
+    row2 = {"loader": "ThreadedSource(PackedImageStore, workers=1)",
+            "batch": args.batch}
     row2.update(measure(threaded, args.batch, args.n_batches))
     print(json.dumps(row2), flush=True)
 
     if args.rss_demo:
-        src = data.PackedImageStore(store_dir, batch_size=args.batch, seed=1)
-        it = iter(src)
-        n_stream = len(src) // args.batch
-        for _ in range(n_stream):
-            next(it)
-        print(json.dumps({
-            "rss_demo": True, "streamed_batches": n_stream,
-            "store_gb": row["store_gb"],
-            "rss_after_full_epoch_mb": round(rss_mb(), 1),
-            "rss_delta_mb": round(rss_mb() - base_rss, 1)}), flush=True)
+        # fresh subprocess: isolates the streaming RSS from this process's
+        # thread queues / allocator arenas. heap_delta excludes the
+        # file-backed (reclaimable) memmap pages via VmRSS - mapped-file
+        # resident size.
+        import subprocess
+        code = f"""
+import json, numpy as np, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from gan_lib_tensorflow_tpu import data
+def rss():
+    return next(int(l.split()[1]) for l in open('/proc/self/status')
+                if l.startswith('VmRSS')) / 1024.0
+def file_rss():
+    # resident file-backed pages (RssFile) — the reclaimable memmap part
+    return next((int(l.split()[1]) for l in open('/proc/self/status')
+                 if l.startswith('RssFile')), 0) / 1024.0
+r0, f0 = rss(), file_rss()
+src = data.PackedImageStore({store_dir!r}, batch_size={args.batch}, seed=1)
+r_open = rss()
+it = iter(src); n = len(src) // {args.batch}
+for _ in range(n):
+    b = next(it)
+r1, f1 = rss(), file_rss()
+print(json.dumps({{"rss_demo": True, "streamed_batches": n,
+    "open_cost_mb": round(r_open - r0, 1),
+    "rss_delta_mb": round(r1 - r0, 1),
+    "file_backed_mb": round(f1 - f0, 1),
+    "heap_delta_mb": round((r1 - r0) - (f1 - f0), 1)}}))
+"""
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, check=True)
+        print(out.stdout.strip(), flush=True)
 
     if not args.keep and not args.store_dir:
         shutil.rmtree(store_dir, ignore_errors=True)
