@@ -29,6 +29,13 @@ def main(argv=None):
                         "With the default fused D blocks even 1024^2 batch 4 "
                         "fits without remat (BASELINE.md round-2 sweep); set "
                         "512 if memory pressure returns")
+    p.add_argument("--s2d-from", type=int, default=512,
+                   help="compute levels >= this resolution on the "
+                        "space-to-depth grid — exact, param-compatible "
+                        "rewrite of the low-channel top levels (each ladder "
+                        "stage applies it to its own top level only; "
+                        "measured +33-40%% at the 512/1024 rungs, "
+                        "docs/PERF.md). 0=off")
     p.add_argument("--fused-from", type=int, default=128,
                    help="fused conv+downscale D blocks (Karras fused_scale) "
                         "at resolutions >= this (0=off)")
@@ -49,7 +56,8 @@ def main(argv=None):
         steps_per_phase=args.steps_per_phase or None,
         spatial_axis="sp" if args.sp_shards > 1 else None,
         remat_from_resolution=args.remat_from,
-        fused_from_resolution=args.fused_from)
+        fused_from_resolution=args.fused_from,
+        s2d_from_resolution=args.s2d_from)
 
     import jax
     from ..parallel import create_mesh

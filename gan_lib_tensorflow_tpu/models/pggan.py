@@ -26,11 +26,13 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 from ..losses import drift_penalty, gradient_penalty, wgan_d_loss, wgan_g_loss
 from ..ops import Conv, Dense, downsample_avg, minibatch_stddev, pixel_norm, upsample_nearest
+from ..ops import s2d
 from ..ops.layers import DownsampleConv, UpsampleConv
 from ..train.step import GANSpec
 
@@ -99,6 +101,79 @@ class _DiscBlock(nn.Module):
         return downsample_avg(h)
 
 
+class _ConvParams(nn.Module):
+    """Bare equalized-LR conv params ('kernel'/'bias'), identical in name,
+    shape, init, and runtime scaling to what ``Conv``/``UpsampleConv``/
+    ``DownsampleConv`` declare — the S2D blocks transform the LOGICAL kernel
+    (ops/s2d.py), so checkpoints and migrate_params are interchangeable with
+    the composed path."""
+
+    features: int
+    ksize: int = 3
+    gain: float = float(np.sqrt(2.0))
+
+    @nn.compact
+    def __call__(self, in_c: int):
+        from ..ops import initializers
+        kshape = (self.ksize, self.ksize, in_c, self.features)
+        kernel = self.param("kernel", initializers.unit_normal, kshape,
+                            jnp.float32)
+        kernel = kernel * initializers.he_scale(kshape, self.gain)
+        bias = self.param("bias", initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _bias_add(y, bias, dt):
+    return y + (bias if dt is None else bias.astype(dt))
+
+
+class _GenBlockS2D(nn.Module):
+    """_GenBlock computed on the factor-2 space-to-depth grid (ops/s2d.py):
+    input normal (B,H,W,Cin), output S2D (B,H,W,4f) representing (2H,2W,f).
+    Exact same function and params as _GenBlock — a compute-layout variant
+    for the low-channel top levels (s2d_from)."""
+
+    features: int
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h):
+        dt = self.compute_dtype
+        k1, b1 = _ConvParams(self.features, name="conv1")(h.shape[-1])
+        h = s2d.conv_same(h, s2d.s2d_upconv_kernel(k1), dt)
+        h = _bias_add(h, s2d.tile_bias(b1), dt)
+        h = s2d.pixel_norm_s2d(_lrelu(h))
+        k2, b2 = _ConvParams(self.features, name="conv2")(self.features)
+        h = s2d.conv_same(h, s2d.s2d_conv_kernel(k2), dt)
+        h = _bias_add(h, s2d.tile_bias(b2), dt)
+        return s2d.pixel_norm_s2d(_lrelu(h))
+
+
+class _DiscBlockS2D(nn.Module):
+    """_DiscBlock(fused_scale=True) computed on the space-to-depth grid:
+    input S2D (B,H/2,W/2,4Cin) representing (H,W,Cin), output NORMAL
+    (B,H/2,W/2,f2). Same nonlinearity ordering as fused_scale (lrelu after
+    the downscale); params identical to the composed block."""
+
+    features1: int
+    features2: int
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h):
+        dt = self.compute_dtype
+        in_c = h.shape[-1] // 4
+        k1, b1 = _ConvParams(self.features1, name="conv1")(in_c)
+        h = s2d.conv_same(h, s2d.s2d_conv_kernel(k1), dt)
+        h = _bias_add(h, s2d.tile_bias(b1), dt)
+        h = _lrelu(h)
+        k2, b2 = _ConvParams(self.features2, name="conv2")(self.features1)
+        h = s2d.conv_same(h, s2d.s2d_downconv_kernel(k2), dt)
+        h = _bias_add(h, b2, dt)
+        return _lrelu(h)
+
+
 class PGGANGenerator(nn.Module):
     resolution: int = 1024          # output resolution of THIS stage
     fade_in: bool = False           # transition phase: blend prev-level RGB
@@ -108,7 +183,19 @@ class PGGANGenerator(nn.Module):
     # only level-boundary activations are stored, trading recompute FLOPs for
     # the 512/1024-level memory. Toggling does not change param structure.
     remat_from: int = 0
+    # compute levels >= this on the space-to-depth grid (ops/s2d.py) — the
+    # low-channel high-res perf knob; exact, param-compatible. 0 = off.
+    s2d_from: int = 0
     compute_dtype: Optional[Dtype] = None
+
+    def _torgb(self, h, h_s2d, res, dt):
+        if not h_s2d:
+            return Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
+                        name=f"torgb_{res}")(h)
+        k, b = _ConvParams(3, ksize=1, gain=1.0, name=f"torgb_{res}")(
+            h.shape[-1] // 4)
+        rgb = s2d.conv_same(h, s2d.s2d_conv_kernel(k), dt)
+        return s2d.depth_to_space(_bias_add(rgb, s2d.tile_bias(b), dt))
 
     @nn.compact
     def __call__(self, z, alpha=1.0, *, train: bool = True):
@@ -124,21 +211,25 @@ class PGGANGenerator(nn.Module):
         h = Conv(nf(4, wm), 3, equalized=True, compute_dtype=dt, name="conv_4")(h)
         h = pixel_norm(_lrelu(h))
 
-        prev = h
+        prev, prev_s2d = h, False
+        h_s2d = False
         res = 8
         while res <= self.resolution:
-            prev = h
-            Block = (nn.remat(_GenBlock)
+            if h_s2d:  # previous level left us on the S2D grid
+                h, h_s2d = s2d.depth_to_space(h), False
+            prev, prev_s2d = h, False
+            use_s2d = bool(self.s2d_from) and res >= self.s2d_from
+            Base = _GenBlockS2D if use_s2d else _GenBlock
+            Block = (nn.remat(Base)
                      if self.remat_from and res >= self.remat_from
-                     else _GenBlock)
+                     else Base)
             h = Block(nf(res, wm), dt, name=f"block_{res}")(h)
+            h_s2d = use_s2d
             res *= 2
 
-        rgb = Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
-                   name=f"torgb_{self.resolution}")(h)
+        rgb = self._torgb(h, h_s2d, self.resolution, dt)
         if self.fade_in and self.resolution > 4:
-            rgb_prev = Conv(3, 1, equalized=True, gain=1.0, compute_dtype=dt,
-                            name=f"torgb_{self.resolution // 2}")(prev)
+            rgb_prev = self._torgb(prev, prev_s2d, self.resolution // 2, dt)
             rgb = (alpha * rgb.astype(jnp.float32)
                    + (1.0 - alpha) * upsample_nearest(rgb_prev.astype(jnp.float32)))
         return rgb.astype(jnp.float32)
@@ -154,6 +245,10 @@ class PGGANDiscriminator(nn.Module):
     # fused_scale variant) at resolutions >= this (0 = never). Perf knob for
     # the 512/1024 rungs; params are unaffected.
     fused_from: int = 0
+    # compute levels >= this on the space-to-depth grid (ops/s2d.py); implies
+    # the fused_scale nonlinearity ordering at those levels. Exact,
+    # param-compatible. 0 = off.
+    s2d_from: int = 0
     compute_dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -161,19 +256,40 @@ class PGGANDiscriminator(nn.Module):
         wm = self.width_mul
         dt = self.compute_dtype
 
-        h = Conv(nf(self.resolution, wm), 1, equalized=True, compute_dtype=dt,
-                 name=f"fromrgb_{self.resolution}")(x)
+        def s2d_at(res: int) -> bool:
+            return bool(self.s2d_from) and res >= self.s2d_from
+
+        if s2d_at(self.resolution):
+            h = s2d.space_to_depth(x)
+            k, b = _ConvParams(nf(self.resolution, wm), ksize=1,
+                               name=f"fromrgb_{self.resolution}")(3)
+            h = s2d.conv_same(h, s2d.s2d_conv_kernel(k), dt)
+            h = _bias_add(h, s2d.tile_bias(b), dt)
+            h_s2d = True
+        else:
+            h = Conv(nf(self.resolution, wm), 1, equalized=True,
+                     compute_dtype=dt, name=f"fromrgb_{self.resolution}")(x)
+            h_s2d = False
         h = _lrelu(h)
 
         res = self.resolution
         first = True
         while res > 4:
-            Block = (nn.remat(_DiscBlock)
+            use_s2d = s2d_at(res)
+            if use_s2d and not h_s2d:
+                h = s2d.space_to_depth(h)
+            Base = _DiscBlockS2D if use_s2d else _DiscBlock
+            Block = (nn.remat(Base)
                      if self.remat_from and res >= self.remat_from
-                     else _DiscBlock)
-            fused = bool(self.fused_from) and res >= self.fused_from
-            h = Block(nf(res, wm), nf(res // 2, wm), fused, dt,
-                      name=f"block_{res}")(h)
+                     else Base)
+            if use_s2d:
+                h = Block(nf(res, wm), nf(res // 2, wm), dt,
+                          name=f"block_{res}")(h)
+                h_s2d = False  # S2D blocks emit normal layout at res/2
+            else:
+                fused = bool(self.fused_from) and res >= self.fused_from
+                h = Block(nf(res, wm), nf(res // 2, wm), fused, dt,
+                          name=f"block_{res}")(h)
             if first and self.fade_in:
                 skip = Conv(nf(res // 2, wm), 1, equalized=True, compute_dtype=dt,
                             name=f"fromrgb_{res // 2}")(downsample_avg(x))

@@ -64,6 +64,14 @@ class LadderConfig:
     # Use the fused conv+downscale D blocks (Karras fused_scale variant)
     # from this resolution upward (0 = never). Param-compatible perf knob.
     fused_from_resolution: int = 0
+    # Compute levels from this resolution upward on the space-to-depth grid
+    # (ops/s2d.py) — the low-channel high-res perf knob. Exact and
+    # param-compatible; supersedes fused_from at the covered levels. Measured
+    # (docs/PERF.md round 3): at any given stage, rewriting ONLY the stage's
+    # own top level is optimal (deeper coverage adds S2D/D2S transitions that
+    # cost more than they save), so each stage uses
+    # max(s2d_from_resolution, stage_resolution) as its effective threshold.
+    s2d_from_resolution: int = 0
 
 
 def resolutions(cfg: LadderConfig):
@@ -96,14 +104,18 @@ def train_pggan_ladder(
                   else ["transition", "stabilize"])
         for phase in phases:
             fade = phase == "transition"
+            s2d_eff = (max(cfg.s2d_from_resolution, res)
+                       if cfg.s2d_from_resolution else 0)
             g = pggan.PGGANGenerator(resolution=res, fade_in=fade,
                                      z_dim=cfg.z_dim, width_mul=cfg.width_mul,
                                      remat_from=cfg.remat_from_resolution,
+                                     s2d_from=s2d_eff,
                                      compute_dtype=cfg.compute_dtype)
             d = pggan.PGGANDiscriminator(resolution=res, fade_in=fade,
                                          width_mul=cfg.width_mul,
                                          remat_from=cfg.remat_from_resolution,
                                          fused_from=cfg.fused_from_resolution,
+                                         s2d_from=s2d_eff,
                                          compute_dtype=cfg.compute_dtype)
             spec = pggan.make_pggan_spec(g, d, ema_decay=cfg.ema_decay)
             g_optim = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)

@@ -33,15 +33,17 @@ import optax
 
 
 def time_config(resolution: int, batch: int, remat_from: int, fused_from: int,
-                timed_steps: int, width_mul: float = 1.0) -> dict:
+                timed_steps: int, width_mul: float = 1.0,
+                s2d_from: int = 0) -> dict:
     from gan_lib_tensorflow_tpu import train
     from gan_lib_tensorflow_tpu.models import pggan
 
     g = pggan.PGGANGenerator(resolution=resolution, width_mul=width_mul,
-                             remat_from=remat_from,
+                             remat_from=remat_from, s2d_from=s2d_from,
                              compute_dtype=jnp.bfloat16)
     d = pggan.PGGANDiscriminator(resolution=resolution, width_mul=width_mul,
                                  remat_from=remat_from, fused_from=fused_from,
+                                 s2d_from=s2d_from,
                                  compute_dtype=jnp.bfloat16)
     spec = pggan.make_pggan_spec(g, d)
     g_optim = optax.adam(1e-3, b1=0.0, b2=0.99)
@@ -79,16 +81,19 @@ def main():
     p.add_argument("--width-mul", type=float, default=1.0)
     p.add_argument("--remat-from", type=int, nargs="+", default=[0, 512, 1024])
     p.add_argument("--fused-from", type=int, nargs="+", default=[0, 128])
+    p.add_argument("--s2d-from", type=int, nargs="+", default=[0])
     p.add_argument("--timed-steps", type=int, default=10)
     args = p.parse_args()
 
     for rf in args.remat_from:
-        for ff in args.fused_from:
+      for ff in args.fused_from:
+        for sf in args.s2d_from:
             row = {"resolution": args.resolution, "batch": args.batch,
-                   "remat_from": rf, "fused_from": ff}
+                   "remat_from": rf, "fused_from": ff, "s2d_from": sf}
             try:
                 row.update(time_config(args.resolution, args.batch, rf, ff,
-                                       args.timed_steps, args.width_mul))
+                                       args.timed_steps, args.width_mul,
+                                       s2d_from=sf))
             except Exception as e:  # OOM / compile failure is a data point
                 row["error"] = f"{type(e).__name__}: {str(e)[:160]}"
             print(json.dumps(row), flush=True)

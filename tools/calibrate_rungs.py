@@ -33,13 +33,15 @@ NOMINAL_TFS = 197.0
 ACHIEVED_TFS = 173.0   # measured 8192^3 bf16 matmul rate on this chip (PERF.md)
 
 
-def build_pggan(resolution: int, batch: int, fused_from: int = 128):
+def build_pggan(resolution: int, batch: int, fused_from: int = 128,
+                s2d_from: int = 0):
     from gan_lib_tensorflow_tpu import train
     from gan_lib_tensorflow_tpu.models import pggan
 
-    g = pggan.PGGANGenerator(resolution=resolution, compute_dtype=jnp.bfloat16)
+    g = pggan.PGGANGenerator(resolution=resolution, s2d_from=s2d_from,
+                             compute_dtype=jnp.bfloat16)
     d = pggan.PGGANDiscriminator(resolution=resolution,
-                                 fused_from=fused_from,
+                                 fused_from=fused_from, s2d_from=s2d_from,
                                  compute_dtype=jnp.bfloat16)
     spec = pggan.make_pggan_spec(g, d)
     opt = lambda: optax.adam(1e-3, b1=0.0, b2=0.99)
@@ -116,6 +118,10 @@ def main():
     p.add_argument("--rungs", nargs="+",
                    default=["acgan", "pggan256", "pggan512", "pggan1024"])
     p.add_argument("--timed-steps", type=int, default=10)
+    p.add_argument("--s2d-from", type=int, default=0,
+                   help="space-to-depth levels >= this resolution (note: "
+                   "cost_analysis then reports the INFLATED s2d FLOPs; "
+                   "compare measured ms against the composed-path roofline)")
     p.add_argument("--pggan-batch", type=int, default=0,
                    help="override the per-resolution batch schedule")
     args = p.parse_args()
@@ -130,7 +136,7 @@ def main():
             elif rung.startswith("pggan"):
                 res = int(rung[len("pggan"):])
                 b = args.pggan_batch or pg_batches.get(res, 8)
-                step, state, bd = build_pggan(res, b)
+                step, state, bd = build_pggan(res, b, s2d_from=args.s2d_from)
                 row = calibrate(rung, step, state, bd, b, args.timed_steps)
             else:
                 row = {"rung": rung, "error": "unknown rung"}
