@@ -1,4 +1,5 @@
-"""FLOP-calibrate the non-CIFAR perf rungs: PGGAN 256/512/1024 and ACGAN.
+"""FLOP-calibrate the non-CIFAR perf rungs: PGGAN 256/512/1024, ACGAN,
+pix2pix 256^2, and ImageNet-128 (scan-corrected).
 
 Extends docs/PERF.md's calibration discipline (VERDICT r2 Weak #2) to the
 rungs that had step times but no roofline. Both PGGAN and ACGAN run n_critic=1
@@ -59,6 +60,61 @@ def build_pggan(resolution: int, batch: int, fused_from: int = 128,
     return step, state, batch_data
 
 
+def build_pix2pix(batch: int = 4):
+    from gan_lib_tensorflow_tpu import train
+    from gan_lib_tensorflow_tpu.models import pix2pix
+
+    g = pix2pix.UNetGenerator(compute_dtype=jnp.bfloat16)
+    d = pix2pix.PatchGANDiscriminator(compute_dtype=jnp.bfloat16)
+    spec = pix2pix.make_pix2pix_spec(g, d)
+    opt = lambda: optax.adam(2e-4, b1=0.5)
+    g_optim, d_optim = opt(), opt()
+    zs = jnp.zeros((2, 256, 256, 3))
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init({"params": r, "dropout": r}, zs, train=False),
+        lambda r: d.init(r, zs, zs, train=False),
+        g_optim, d_optim)
+    step = train.make_train_step(spec, g_optim, d_optim)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "input": jnp.asarray(rng.standard_normal(
+            (1, batch, 256, 256, 3), dtype=np.float32).clip(-1, 1)),
+        "target": jnp.asarray(rng.standard_normal(
+            (1, batch, 256, 256, 3), dtype=np.float32).clip(-1, 1))}
+    return step, state, batch_data
+
+
+def build_imagenet(batch: int = 64):
+    """SNGAN-projection 128^2. NOTE: n_critic=5 via lax.scan — cost_analysis
+    counts the scan body ONCE, so tf_per_step is corrected by hand here
+    (prepare + 5x critic + G update decomposition, docs/PERF.md)."""
+    from gan_lib_tensorflow_tpu import train
+    from gan_lib_tensorflow_tpu.models import sngan
+
+    g = sngan.imagenet128_generator(compute_dtype=jnp.bfloat16)
+    d = sngan.imagenet128_discriminator(compute_dtype=jnp.bfloat16)
+    spec = sngan.make_sngan_spec(g, d, n_critic=5, ema_decay=0.9999)
+    g_optim = optax.adam(1e-4, b1=0.0, b2=0.9)
+    d_optim = optax.adam(4e-4, b1=0.0, b2=0.9)
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, g.z_dim)),
+                         jnp.zeros((2,), jnp.int32), train=False),
+        lambda r: d.init(r, jnp.zeros((2, 128, 128, 3)),
+                         jnp.zeros((2,), jnp.int32)),
+        g_optim, d_optim, ema_decay=spec.ema_decay)
+    step = train.make_train_step(spec, g_optim, d_optim)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "image": jnp.asarray(rng.standard_normal(
+            (spec.n_micro, batch, 128, 128, 3),
+            dtype=np.float32).clip(-1, 1)),
+        "label": jnp.asarray(rng.integers(
+            0, 1000, (spec.n_micro, batch)).astype(np.int32))}
+    return step, state, batch_data
+
+
 def build_acgan(batch: int = 100):
     from gan_lib_tensorflow_tpu import train
     from gan_lib_tensorflow_tpu.models import acgan
@@ -84,13 +140,13 @@ def build_acgan(batch: int = 100):
 
 
 def calibrate(name: str, step_fn, state, batch_data, batch: int,
-              timed_steps: int) -> dict:
+              timed_steps: int, tf_override: float = 0.0) -> dict:
     jitted = jax.jit(step_fn, donate_argnums=0)
     lowered = jitted.lower(state, batch_data)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    tf_per_step = float(cost["flops"]) / 1e12
+    tf_per_step = tf_override or float(cost["flops"]) / 1e12
 
     for _ in range(2):
         state, metrics = jitted(state, batch_data)
@@ -116,7 +172,10 @@ def calibrate(name: str, step_fn, state, batch_data, batch: int,
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--rungs", nargs="+",
-                   default=["acgan", "pggan256", "pggan512", "pggan1024"])
+                   default=["acgan", "pggan256", "pggan512", "pggan1024"],
+                   help="also available: pix2pix (256^2 batch 4), imagenet "
+                        "(SNGAN-projection 128^2 batch 64, scan-corrected "
+                        "FLOPs)")
     p.add_argument("--timed-steps", type=int, default=10)
     p.add_argument("--s2d-from", type=int, default=0,
                    help="space-to-depth levels >= this resolution (note: "
@@ -133,6 +192,14 @@ def main():
             if rung == "acgan":
                 step, state, bd = build_acgan()
                 row = calibrate(rung, step, state, bd, 100, args.timed_steps)
+            elif rung == "pix2pix":
+                step, state, bd = build_pix2pix()
+                row = calibrate(rung, step, state, bd, 4, args.timed_steps)
+            elif rung == "imagenet":
+                # scan-corrected hand count (docs/PERF.md): 18.2 TF/step
+                step, state, bd = build_imagenet()
+                row = calibrate(rung, step, state, bd, 64, args.timed_steps,
+                                tf_override=18.2)
             elif rung.startswith("pggan"):
                 res = int(rung[len("pggan"):])
                 b = args.pggan_batch or pg_batches.get(res, 8)

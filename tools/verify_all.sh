@@ -32,9 +32,9 @@ python -m gan_lib_tensorflow_tpu.cli.train_pix2pix --mode test \
   --out-dir "$OUT/p2p" --data fake --max-test-images 2
 python -m gan_lib_tensorflow_tpu.cli.train_pix2pix --mode export --out-dir "$OUT/p2p" --data fake
 
-echo "== 5. PGGAN ladder 4->16 =="
+echo "== 5. PGGAN ladder 4->16 (s2d-from 8: every stage's top level runs the S2D path) =="
 python -m gan_lib_tensorflow_tpu.cli.train_pggan --final-resolution 16 \
-  --width-mul 0.0625 --z-dim 64 --steps-per-phase 2 --log-every 1 \
+  --width-mul 0.0625 --z-dim 64 --steps-per-phase 2 --log-every 1 --s2d-from 8 \
   --sample-every 1000000 --ckpt-every 1000000 --out-dir "$OUT/pggan" --data fake
 
 echo "== 6. multichip dryrun (8 virtual CPU devices) =="
