@@ -87,3 +87,20 @@ def test_ladder_fused_from_wiring():
     import jax
     for leaf in jax.tree_util.tree_leaves(state.d_params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_batch_by_res_cli_override():
+    """--batch-by-res merges over the Karras schedule (the measured
+    throughput knob: batch 8 at 1024^2 is +81% on one chip, docs/PERF.md)."""
+    import pytest
+    from gan_lib_tensorflow_tpu.cli.train_pggan import parse_batch_by_res
+    from gan_lib_tensorflow_tpu.train.pggan_loop import DEFAULT_BATCH_BY_RES
+
+    assert parse_batch_by_res("") == {}
+    got = parse_batch_by_res("512:16,1024:8")
+    assert got == {512: 16, 1024: 8}
+    merged = dict(DEFAULT_BATCH_BY_RES)
+    merged.update(got)
+    assert merged[1024] == 8 and merged[256] == DEFAULT_BATCH_BY_RES[256]
+    with pytest.raises(SystemExit):
+        parse_batch_by_res("512x16")
