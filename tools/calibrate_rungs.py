@@ -183,6 +183,9 @@ def main():
                    "compare measured ms against the composed-path roofline)")
     p.add_argument("--pggan-batch", type=int, default=0,
                    help="override the per-resolution batch schedule")
+    p.add_argument("--pix2pix-batch", type=int, default=4,
+                   help="pix2pix rung batch size (reference trains at 1; "
+                        "the CLI default is 4; sweep for throughput mode)")
     args = p.parse_args()
 
     # reference batch schedule at high res (Karras: 16 -> ... -> 4 at 1024)
@@ -193,8 +196,9 @@ def main():
                 step, state, bd = build_acgan()
                 row = calibrate(rung, step, state, bd, 100, args.timed_steps)
             elif rung == "pix2pix":
-                step, state, bd = build_pix2pix()
-                row = calibrate(rung, step, state, bd, 4, args.timed_steps)
+                b = args.pix2pix_batch
+                step, state, bd = build_pix2pix(b)
+                row = calibrate(rung, step, state, bd, b, args.timed_steps)
             elif rung == "imagenet":
                 # scan-corrected hand count (docs/PERF.md): 18.2 TF/step
                 step, state, bd = build_imagenet()
