@@ -10,6 +10,10 @@ Usage:
   python -m gan_lib_tensorflow_tpu.cli.evaluate --model pggan \
       --ckpt-dir runs/pg/ckpt --resolution 64 [--data <celeba-hq dir>]
 
+  python -m gan_lib_tensorflow_tpu.cli.evaluate --model imagenet \
+      --ckpt-dir runs/in128/ckpt --data <packed 128^2 store or class folder>
+      # SNGAN-projection 128^2 conditional IS/FID (labels cycle 0..C-1)
+
 Without --inception-weights a seed-fixed random InceptionV3 is used: relative
 comparisons (across checkpoints of the same run) remain meaningful; absolute
 values are not Inception-comparable (documented in eval.inception_v3).
@@ -44,7 +48,7 @@ from ..train import CheckpointManager, eval_state_from_raw
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="sngan",
-                   choices=["sngan", "acgan", "pggan"])
+                   choices=["sngan", "acgan", "pggan", "imagenet"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--n-samples", type=int, default=50_000)
     p.add_argument("--batch-size", type=int, default=100)
@@ -57,7 +61,8 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resolution", type=int, default=64, help="pggan only")
-    p.add_argument("--width-mul", type=float, default=1.0, help="pggan only")
+    p.add_argument("--width-mul", type=float, default=1.0,
+                   help="pggan/imagenet channel-width multiplier")
     p.add_argument("--out-json", default=None,
                    help="also write the result record to this file")
     args = p.parse_args(argv)
@@ -89,23 +94,36 @@ def _real_image_source(args, image_size: int = 32):
     if args.data == "fake":
         return data_lib.FakeImages(batch_size=args.batch_size,
                                    image_size=image_size, seed=args.seed), "synthetic"
-    if args.data in ("auto", "cifar10"):
+    if args.data in ("auto", "cifar10") and image_size == 32:
         try:
             return data_lib.Cifar10(batch_size=args.batch_size,
                                     seed=args.seed), "cifar10"
         except FileNotFoundError:
             if args.data == "cifar10":
                 raise
-            return data_lib.FakeImages(batch_size=args.batch_size,
-                                       image_size=image_size,
-                                       seed=args.seed), "synthetic"
+    if args.data == "auto" or (args.data == "cifar10" and image_size != 32):
+        return data_lib.FakeImages(batch_size=args.batch_size,
+                                   image_size=image_size,
+                                   seed=args.seed), "synthetic"
     if os.path.isdir(args.data):
-        return data_lib.Cifar10(batch_size=args.batch_size, data_dir=args.data,
-                                seed=args.seed), args.data
+        if data_lib.is_packed_dir(args.data):
+            src = data_lib.PackedImageStore(
+                args.data, batch_size=args.batch_size, seed=args.seed)
+            if src.image_size != image_size:
+                raise ValueError(
+                    f"--data {args.data}: packed store is {src.image_size}^2 "
+                    f"but --model {args.model} generates {image_size}^2")
+            return src, args.data
+        if image_size == 32:
+            return data_lib.Cifar10(batch_size=args.batch_size,
+                                    data_dir=args.data, seed=args.seed), args.data
+        return data_lib.ImageFolderByClass(
+            args.data, batch_size=args.batch_size, image_size=image_size,
+            seed=args.seed), args.data
     raise FileNotFoundError(f"--data {args.data!r}: no such directory")
 
 
-def real_moments(args, net, mesh=None):
+def real_moments(args, net, mesh=None, image_size: int = 32):
     """Real-data (mu, cov) with npz caching (--real-stats-npz)."""
     cache = args.real_stats_npz
     if cache and os.path.exists(cache):
@@ -114,7 +132,7 @@ def real_moments(args, net, mesh=None):
             print(f"note: {cache} was computed with n_real={int(d['n_real'])}",
                   flush=True)
         return (d["mu"], d["cov"]), str(d["source"])
-    src, real_source = _real_image_source(args)
+    src, real_source = _real_image_source(args, image_size=image_size)
     it = iter(src)
     real_batches = (next(it)["image"]
                     for _ in range(args.n_real // args.batch_size))
@@ -129,10 +147,19 @@ def real_moments(args, net, mesh=None):
 
 
 def eval_is_fid(args) -> dict:
+    image_size = 32
     if args.model == "sngan":
         from ..models import sngan as m
         g = m.cifar_generator(num_classes=args.num_classes)
         sampler = m.make_sampler(g)
+    elif args.model == "imagenet":
+        # SNGAN-projection 128^2: class-conditional samples cycling the label
+        # set (reference reports IS over 50k conditional samples, SURVEY §6)
+        from ..models import sngan as m
+        g = m.imagenet128_generator(num_classes=args.num_classes or 1000,
+                                    width_mul=args.width_mul)
+        sampler = m.make_sampler(g)
+        image_size = 128
     else:
         from ..models import acgan as m
         g = m.ACGANGenerator()
@@ -141,7 +168,8 @@ def eval_is_fid(args) -> dict:
     state = _restore(args)
     mesh = _mesh_or_none()
     net = InceptionV3Features(params_npz=args.inception_weights)
-    (mu_r, cov_r), real_source = real_moments(args, net, mesh=mesh)
+    (mu_r, cov_r), real_source = real_moments(args, net, mesh=mesh,
+                                              image_size=image_size)
 
     def sample_batch(rng):
         return sampler(state, rng, args.batch_size)

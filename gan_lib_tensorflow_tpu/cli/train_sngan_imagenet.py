@@ -37,14 +37,19 @@ def main(argv=None):
     p.add_argument("--beta1", type=float, default=0.0)
     p.add_argument("--beta2", type=float, default=0.9)
     p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--width-mul", type=float, default=1.0,
+                   help="channel-width multiplier (1.0 = reference width; "
+                        "evaluate with the same value)")
     p.add_argument("--ema-decay", type=float, default=0.9999)
     p.set_defaults(steps=450_000)
     args = p.parse_args(argv)
     common.configure(args)
 
     dtype = common.compute_dtype(args)
-    g = sngan.imagenet128_generator(compute_dtype=dtype, num_classes=args.num_classes)
-    d = sngan.imagenet128_discriminator(compute_dtype=dtype, num_classes=args.num_classes)
+    g = sngan.imagenet128_generator(compute_dtype=dtype, num_classes=args.num_classes,
+                                    width_mul=args.width_mul)
+    d = sngan.imagenet128_discriminator(compute_dtype=dtype, num_classes=args.num_classes,
+                                        width_mul=args.width_mul)
     spec = sngan.make_sngan_spec(g, d, n_critic=args.n_critic,
                                  ema_decay=args.ema_decay)
     g_optim = optax.adam(optax.linear_schedule(args.g_lr, 0.0, args.steps),

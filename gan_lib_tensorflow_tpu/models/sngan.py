@@ -111,15 +111,24 @@ def cifar_discriminator(compute_dtype=None, num_classes: int = 0) -> ResNetDiscr
     return ResNetDiscriminator(num_classes=num_classes, compute_dtype=compute_dtype)
 
 
-def imagenet128_generator(compute_dtype=None, num_classes: int = 1000) -> ResNetGenerator:
+def _scale_channels(chs, width_mul: float):
+    return tuple(max(int(c * width_mul), 8) for c in chs)
+
+
+def imagenet128_generator(compute_dtype=None, num_classes: int = 1000,
+                          width_mul: float = 1.0) -> ResNetGenerator:
+    """128^2 projection-SNGAN G (reference config). ``width_mul`` scales all
+    channel counts (1.0 = reference width; small values for tests/low-mem)."""
+    chs = _scale_channels((1024, 512, 256, 128, 64), width_mul)
     return ResNetGenerator(
-        channels=(1024, 512, 256, 128, 64), bottom_ch=1024,
+        channels=chs, bottom_ch=chs[0],
         num_classes=num_classes, compute_dtype=compute_dtype)
 
 
-def imagenet128_discriminator(compute_dtype=None, num_classes: int = 1000) -> ResNetDiscriminator:
+def imagenet128_discriminator(compute_dtype=None, num_classes: int = 1000,
+                              width_mul: float = 1.0) -> ResNetDiscriminator:
     return ResNetDiscriminator(
-        channels=(64, 128, 256, 512, 1024, 1024),
+        channels=_scale_channels((64, 128, 256, 512, 1024, 1024), width_mul),
         downsample=(True, True, True, True, True, False),
         num_classes=num_classes, compute_dtype=compute_dtype)
 

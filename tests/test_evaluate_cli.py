@@ -79,3 +79,62 @@ def test_real_moments_npz_cache_roundtrip(tmp_path):
     (mu2, cov2), _ = eval_cli.real_moments(args2, net)
     np.testing.assert_array_equal(mu1, mu2)
     np.testing.assert_array_equal(cov1, cov2)
+
+
+def test_evaluate_imagenet_conditional_entry(tmp_path, monkeypatch):
+    """--model imagenet: SNGAN-projection 128^2 conditional IS/FID surface
+    (class-conditional sampler, 128^2 real-source resolution)."""
+    from gan_lib_tensorflow_tpu.models import sngan
+
+    w, n_cls = 1 / 64, 6
+    g = sngan.imagenet128_generator(num_classes=n_cls, width_mul=w)
+    variables = g.init(jax.random.PRNGKey(0), jnp.zeros((2, g.z_dim)),
+                       jnp.zeros((2,), jnp.int32), train=False)
+    params = variables["params"]
+    g_state = {k: v for k, v in variables.items() if k != "params"}
+    ckpt_dir = str(tmp_path / "ckpt")
+    cm = CheckpointManager(ckpt_dir)
+    cm.save(7, {"g_params": params, "g_state": g_state, "step": 7}, wait=True)
+    cm.close()
+
+    # stand-in extractor at 128^2 so the test stays CPU-cheap
+    monkeypatch.setattr(
+        eval_cli, "InceptionV3Features",
+        lambda params_npz=None: FixedFeatureNet(image_size=128,
+                                                feature_dim=16))
+    out_json = str(tmp_path / "result.json")
+    eval_cli.main(["--model", "imagenet", "--ckpt-dir", ckpt_dir,
+                   "--num-classes", str(n_cls), "--width-mul", str(w),
+                   "--n-samples", "20", "--batch-size", "4", "--n-real", "8",
+                   "--data", "fake", "--out-json", out_json])
+    rec = json.loads(open(out_json).read())
+    assert rec["step"] == 7
+    assert np.isfinite(rec["inception_score"]) and np.isfinite(rec["fid"])
+    assert rec["real_source"] == "synthetic"
+
+
+def test_evaluate_imagenet_packed_store_size_mismatch(tmp_path):
+    """A packed real store whose resolution differs from the model's output
+    fails loudly instead of silently computing cross-resolution FID."""
+    import pytest
+    from gan_lib_tensorflow_tpu.data import PackedImageStore
+
+    # write a tiny 32^2 packed store via the prepack tool's writer format
+    import subprocess, sys as _sys
+    from PIL import Image
+    src = tmp_path / "imgs"; src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)
+                        ).save(src / f"{i}.png")
+    store = str(tmp_path / "store")
+    subprocess.run([_sys.executable, "tools/prepack_dataset.py",
+                    "--src", str(src), "--out", store, "--size", "32"],
+                   check=True,
+                   cwd=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+    args = types.SimpleNamespace(data=store, seed=0, batch_size=2, n_real=4,
+                                 real_stats_npz=None, inception_weights=None,
+                                 model="imagenet")
+    with pytest.raises(ValueError, match="32\\^2"):
+        eval_cli._real_image_source(args, image_size=128)
