@@ -48,7 +48,8 @@ from ..train import CheckpointManager, eval_state_from_raw
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="sngan",
-                   choices=["sngan", "acgan", "pggan", "imagenet"])
+                   choices=["sngan", "acgan", "pggan", "imagenet",
+                            "sngan_imagenet"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--n-samples", type=int, default=50_000)
     p.add_argument("--batch-size", type=int, default=100)
@@ -66,6 +67,8 @@ def main(argv=None):
     p.add_argument("--out-json", default=None,
                    help="also write the result record to this file")
     args = p.parse_args(argv)
+    if args.model == "sngan_imagenet":  # cli.sample's name for the family
+        args.model = "imagenet"
 
     out = (eval_pggan(args) if args.model == "pggan"
            else eval_is_fid(args))

@@ -31,24 +31,29 @@ from ..utils import save_image_grid
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
-                   choices=["sngan", "sngan_imagenet", "acgan", "pggan"])
+                   choices=["sngan", "sngan_imagenet", "imagenet", "acgan",
+                            "pggan"])
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--out", default="samples.png")
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-classes", type=int, default=0)
     p.add_argument("--resolution", type=int, default=1024, help="pggan only")
-    p.add_argument("--width-mul", type=float, default=1.0, help="pggan only")
+    p.add_argument("--width-mul", type=float, default=1.0,
+                   help="pggan/sngan_imagenet channel-width multiplier")
     p.add_argument("--export-dir", default=None,
                    help="also write a serving bundle (orbax params + "
                         "StableHLO of the jitted generator) here")
     args = p.parse_args(argv)
 
+    if args.model == "imagenet":  # cli.evaluate's name for the family
+        args.model = "sngan_imagenet"
     if args.model in ("sngan", "sngan_imagenet"):
         from ..models import sngan as m
         g = (m.cifar_generator(num_classes=args.num_classes)
              if args.model == "sngan"
-             else m.imagenet128_generator(num_classes=args.num_classes or 1000))
+             else m.imagenet128_generator(num_classes=args.num_classes or 1000,
+                                          width_mul=args.width_mul))
         sampler = m.make_sampler(g)
     elif args.model == "acgan":
         from ..models import acgan as m
