@@ -44,3 +44,27 @@ def test_plot_run_renders_artifact(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0, proc.stderr
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_ladder_renders_and_orders_phases(tmp_path):
+    """plot_ladder: phases sort 4x4_s < 8x8_t < 8x8_s and non-phase dirs are
+    ignored; renders one figure from the concatenated logs."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import plot_ladder
+
+    run = tmp_path / "ladder"
+    for name, w in [("8x8_stabilize", 0.5), ("4x4_stabilize", 1.0),
+                    ("8x8_transition", 0.7)]:
+        d = run / name
+        d.mkdir(parents=True)
+        with open(d / "log.jsonl", "w") as f:
+            for s in (100, 200):
+                f.write(json.dumps({"step": s, "wdist": w, "gp": 0.01}) + "\n")
+    (run / "not_a_phase").mkdir()
+
+    phases = plot_ladder.load_ladder(str(run))
+    assert [n for n, _ in phases] == ["4x4_stabilize", "8x8_transition",
+                                      "8x8_stabilize"]
+    out = tmp_path / "ladder.png"
+    plot_ladder.main([str(run), "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
