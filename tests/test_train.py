@@ -144,3 +144,31 @@ def test_checkpoint_roundtrip_bitwise(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     ckpt.close()
+
+
+def test_imagenet_projection_dp_sharded_step_on_8_devices():
+    """SNGAN-projection 128^2 (fifth family) under the 'data' mesh: cond-BN
+    gamma/beta gathers and the projection-D label embedding with a sharded
+    label batch (completes per-family DP coverage)."""
+    mesh = parallel.create_mesh()
+    n_cls = 12
+    g = sngan.imagenet128_generator(num_classes=n_cls, width_mul=1 / 32)
+    d = sngan.imagenet128_discriminator(num_classes=n_cls, width_mul=1 / 32)
+    spec = sngan.make_sngan_spec(g, d, n_critic=2, ema_decay=0.999)
+    opt_g = optax.adam(1e-4, b1=0.0, b2=0.9)
+    opt_d = optax.adam(4e-4, b1=0.0, b2=0.9)
+    state = _make_state(
+        jax.random.PRNGKey(0), g, d, opt_g, opt_d,
+        (jnp.zeros((2, g.z_dim)), jnp.zeros((2,), jnp.int32)),
+        (jnp.zeros((2, 128, 128, 3)), jnp.zeros((2,), jnp.int32)),
+        ema=spec.ema_decay)
+    step_fn = train.jit_train_step(spec, opt_g, opt_d, mesh=mesh)
+    src = data.FakeImages(batch_size=8, image_size=128, num_classes=n_cls,
+                          seed=0)
+    batch = next(parallel.prefetch_to_device(
+        data.microbatch_stack(src, spec.n_micro), mesh, leading_stack_dims=1))
+    assert len(batch["label"].sharding.device_set) == 8
+    state, metrics = step_fn(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 1
