@@ -120,8 +120,36 @@ def cpu_baseline() -> float:
         return float(json.load(f)["cpu_baseline_images_per_sec"])
 
 
+def _arm_watchdog():
+    """Fail loudly instead of hanging forever when the TPU tunnel is down.
+
+    Device enumeration / remote compile through the tunneled axon backend
+    block in C land with no Python-level timeout hook (observed outages of
+    hours on 2026-08-17), so a daemon thread hard-exits with a diagnostic
+    once the deadline passes. 25 min default clears the worst observed
+    legitimate first-compile (~15 min through the tunnel) with margin;
+    override with GANTPU_BENCH_DEADLINE_S.
+    """
+    import threading
+
+    deadline = float(os.environ.get("GANTPU_BENCH_DEADLINE_S", 1500))
+
+    def boom():
+        print(f"bench watchdog: no result after {deadline:.0f}s — accelerator "
+              "backend unreachable (TPU tunnel outage?); aborting instead of "
+              "hanging", file=sys.stderr, flush=True)
+        os._exit(2)
+
+    t = threading.Timer(deadline, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog()
     ips_accel = run(cpu=False)
+    watchdog.cancel()
     n_chips = jax.device_count()
     per_chip = ips_accel / n_chips
     try:
