@@ -127,6 +127,32 @@ def test_report_only_and_partial_failure(fixture_ckpt, tmp_path):
                      "--allow-partial"]) == 0
 
 
+def test_sngan_sn_u_vectors_match():
+    """The sngan D carries a spectral-norm 'sn' collection of u-vectors —
+    a role the acgan fixture doesn't exercise. Matcher-level check that u
+    leaves classify and align (no checkpoint I/O needed)."""
+    import jax
+
+    from gan_lib_tensorflow_tpu.models import sngan
+
+    d = sngan.cifar_discriminator()
+    dv = d.init(jax.random.PRNGKey(1), np.zeros((2, 32, 32, 3), np.float32))
+    leaves = imp.flatten_variables(dv)
+    u_leaves = [p for p, k, v, role in leaves if role == "u"]
+    assert u_leaves and all(p.startswith("sn/") for p in u_leaves)
+
+    named = _to_tf_names(dv, "Discriminator")
+    tf_vars = {name: np.asarray(val) for name, _, val in named}
+    assignments, report = imp.match(tf_vars, leaves, {}, "D")
+    assert not report["unmatched_target"] and not report["unmatched_tf"]
+    # every u landed on a u (same values by construction)
+    by_path = {p: v for p, k, v, r in leaves}
+    for name, path, val in named:
+        if name.endswith(".u"):
+            keys = next(k for p, k, v, r in leaves if p == path)
+            np.testing.assert_array_equal(assignments[keys], np.asarray(val))
+
+
 def test_explicit_map_pins_a_variable(fixture_ckpt, tmp_path):
     import jax.tree_util as jtu
 
