@@ -153,6 +153,28 @@ def test_sngan_sn_u_vectors_match():
             np.testing.assert_array_equal(assignments[keys], np.asarray(val))
 
 
+def test_nchw_boundary_permutation_exact():
+    """The G input dense's output columns must reorder from (C,H,W) to
+    (H,W,C) flattening. Encode each column's (c,h,w) index in its value and
+    assert the permuted kernel reads out in (h,w,c) order."""
+    C, H, W = 3, 4, 4
+    dim = C * H * W
+    # column j holds the TF (NCHW) coordinate it feeds: j = c*H*W + h*W + w
+    kernel = np.tile(np.arange(dim, dtype=np.float32), (5, 1))  # [in=5, out]
+    bias = np.arange(dim, dtype=np.float32)
+    g_vars = {"params": {"dense": {"kernel": kernel, "bias": bias}}}
+    fixed, _ = imp.nchw_boundary_fixups(g_vars, {"params": {}}, "sngan")
+    got = np.asarray(fixed["params"]["dense"]["kernel"])[0]
+    got_b = np.asarray(fixed["params"]["dense"]["bias"])
+    # new column at NHWC position (h,w,c) must be the TF var for (c,h,w)
+    for h in range(H):
+        for w in range(W):
+            for c in range(C):
+                nhwc = (h * W + w) * C + c
+                assert got[nhwc] == c * H * W + h * W + w
+                assert got_b[nhwc] == c * H * W + h * W + w
+
+
 def test_explicit_map_pins_a_variable(fixture_ckpt, tmp_path):
     import jax.tree_util as jtu
 
