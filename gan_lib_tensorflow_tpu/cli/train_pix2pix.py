@@ -9,6 +9,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -162,6 +163,7 @@ def main(argv=None):
         img_dir = os.path.join(args.out_dir, "images")
         os.makedirs(img_dir, exist_ok=True)
         rows = []
+        l1_sum, l1_n = 0.0, 0
         from PIL import Image
         for i, ex in enumerate(it):
             if i >= args.max_test_images:
@@ -169,6 +171,8 @@ def main(argv=None):
             out = np.asarray(translator(pix2pix.generator_variables(state),
                                         jnp.asarray(ex["input"]),
                                         jax.random.PRNGKey(i)))
+            l1_sum += float(np.abs(out - np.asarray(ex["target"])).mean())
+            l1_n += 1
             name = ex.get("name", f"{i:05d}")
             row = {"name": name}
             for kind, arr in (("input", ex["input"]), ("output", out),
@@ -178,7 +182,13 @@ def main(argv=None):
                 row[kind] = f"images/{fn}"
             rows.append(row)
         path = write_gallery(args.out_dir, rows)
-        print(f"wrote {len(rows)} examples to {path}", flush=True)
+        # aggregate test-set L1 (same [-1,1] scale as the training g_l1 term)
+        metrics = {"test_l1": l1_sum / max(l1_n, 1), "n_examples": l1_n,
+                   "step": int(state.step)}
+        with open(os.path.join(args.out_dir, "test_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(f"wrote {len(rows)} examples to {path}; "
+              f"test L1 {metrics['test_l1']:.4f}", flush=True)
         return
 
     if args.mode == "export":

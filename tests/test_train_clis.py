@@ -67,6 +67,8 @@ def test_train_pix2pix_cli_smoke(tmp_path):
                         "--max-test-images", "2", "--compute-dtype", "fp32",
                         "--no-mesh"])
     assert os.path.exists(os.path.join(out, "index.html"))
+    metrics = json.load(open(os.path.join(out, "test_metrics.json")))
+    assert metrics["n_examples"] == 2 and 0.0 <= metrics["test_l1"] < 2.0
 
 
 def test_train_sngan_imagenet_cli_smoke(tmp_path):
