@@ -61,8 +61,9 @@ def paired_source(args, threaded: bool = True, num_workers: int = 2,
     else:
         base = data_lib.PairedImageFolder(
             args.data, batch_size=args.batch_size,
-            image_size=args.image_size,
-            which_direction=args.which_direction, seed=args.seed)
+            image_size=args.image_size, scale_size=args.scale_size,
+            which_direction=args.which_direction, flip=not args.no_flip,
+            seed=args.seed)
     # test mode needs the base source's deterministic eval_iter / ordering
     return data_lib.ThreadedSource(base, num_workers=num_workers) if threaded else base
 
@@ -96,9 +97,17 @@ def main(argv=None):
     p.add_argument("--l1-weight", type=float, default=100.0)
     p.add_argument("--beta1", type=float, default=0.5)
     p.add_argument("--which-direction", default="AtoB", choices=["AtoB", "BtoA"])
+    p.add_argument("--scale-size", type=int, default=286,
+                   help="jitter: resize to this before random-cropping to "
+                        "--image-size (reference load_examples default 286)")
+    p.add_argument("--no-flip", action="store_true",
+                   help="disable random horizontal flip augmentation")
     p.add_argument("--max-test-images", type=int, default=64)
     p.set_defaults(batch_size=1, steps=40_000)
     args = p.parse_args(argv)
+    if args.scale_size < args.image_size:
+        p.error(f"--scale-size {args.scale_size} must be >= --image-size "
+                f"{args.image_size} (resize-then-crop jitter)")
     common.configure(args)
 
     g, d, spec, g_optim, d_optim, state = build(args)
