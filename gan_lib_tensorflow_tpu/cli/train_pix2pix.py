@@ -58,6 +58,18 @@ def paired_source(args, threaded: bool = True, num_workers: int = 2,
             # '-det': colors are a fixed function of geometry, so the
             # translator can actually learn them (see data/fake.py)
             deterministic_color=args.data.endswith("-det"))
+    elif data_lib.is_packed_dir(args.data):
+        # prepacked paired store (tools/prepack_dataset.py --paired): the
+        # only real-data path that feeds the measured batch-32 step rate on
+        # this single-core host (docs/PERF.md input-pipeline law); the store
+        # fixes scale_size, jitter happens per step. ONE prefetch worker, as
+        # for every packed store (2+ collapse on a single core — PERF.md law)
+        num_workers = 1
+        base = data_lib.PackedPairedStore(
+            args.data, batch_size=args.batch_size,
+            image_size=args.image_size,
+            which_direction=args.which_direction, flip=not args.no_flip,
+            seed=args.seed)
     else:
         base = data_lib.PairedImageFolder(
             args.data, batch_size=args.batch_size,

@@ -18,7 +18,8 @@ from .cifar10 import Cifar10
 from .imagenet import ImageFolderByClass, ImageFolderFlat, ImageNetNpz
 from .paired import PairedImageFolder
 from .multires import MultiResolution
-from .packed import PackedImageStore, is_packed_dir, open_pyramid
+from .packed import (PackedImageStore, PackedPairedStore, is_packed_dir,
+                     open_pyramid)
 from .pipeline import ThreadedSource
 
 __all__ = [
@@ -28,6 +29,6 @@ __all__ = [
     "Cifar10", "ImageNetNpz", "ImageFolderByClass", "ImageFolderFlat",
     "PairedImageFolder",
     "MultiResolution",
-    "PackedImageStore", "is_packed_dir", "open_pyramid",
+    "PackedImageStore", "PackedPairedStore", "is_packed_dir", "open_pyramid",
     "ThreadedSource",
 ]

@@ -102,6 +102,96 @@ class PackedImageStore(DataSource):
                 yield out
 
 
+class PackedPairedStore(DataSource):
+    """Shuffled infinite paired batches (pix2pix) out of a prepacked store.
+
+    The store holds combined A|B images at ``scale_size`` per half
+    (``tools/prepack_dataset.py --paired``); per step each example gets the
+    reference's jitter — one shared random crop ``scale->image_size`` and
+    horizontal flip applied to BOTH halves — via the native fused
+    crop+flip+normalize, so the per-image PIL decode (the path that cannot
+    feed the measured batch-32 step rate, docs/PERF.md) is paid once at
+    prepack time.
+    """
+
+    def __init__(self, path: str, batch_size: int = 1, image_size: int = 256,
+                 which_direction: str = "AtoB", flip: bool = True,
+                 seed: int = 0):
+        meta_path = os.path.join(path, META_NAME)
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"not a packed store (no {META_NAME}): {path}")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        if not self.meta.get("paired"):
+            raise ValueError(
+                f"{path} is a single-image store; repack with --paired "
+                "for pix2pix")
+        m = self.meta
+        self.scale = m["height"]
+        if image_size > self.scale:
+            raise ValueError(f"image_size {image_size} exceeds the store's "
+                             f"scale_size {self.scale}; repack with a larger "
+                             f"--scale-size")
+        self.images = np.memmap(
+            os.path.join(path, "images.u8"), np.uint8, "r",
+            shape=(m["n"], m["height"], m["width"], m["channels"]))
+        self.image_size = image_size
+        self.which_direction = which_direction
+        self.flip = flip
+        self.batch_size = batch_size
+        self.seed = seed
+        self.path = path
+
+    def __len__(self) -> int:
+        return int(self.meta["n"])
+
+    def _offsets(self):
+        """(input_x, target_x) base offsets into the combined row."""
+        return (self.scale, 0) if self.which_direction == "BtoA" \
+            else (0, self.scale)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from . import native
+        rng = np.random.default_rng(self.seed)
+        n, s, c = len(self), self.scale, self.image_size
+        in_x, tg_x = self._offsets()
+        while True:
+            order = rng.permutation(n)
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                idx = np.sort(order[i:i + self.batch_size])
+                # fresh batch buffers each yield (consumers queue/prefetch
+                # them); the C kernel writes every crop straight into its
+                # row — no per-image allocation, no stack copy
+                ins = np.empty((self.batch_size, c, c, 3), np.float32)
+                tgts = np.empty((self.batch_size, c, c, 3), np.float32)
+                for k, j in enumerate(idx):
+                    # the combined row is contiguous: the C kernel crops each
+                    # half straight out of it via the x offset (no
+                    # intermediate half copy — reads only the crop window)
+                    row = np.asarray(self.images[int(j)])
+                    oy, ox = (int(v) for v in rng.integers(0, s - c + 1, 2))
+                    flip = bool(self.flip and rng.random() < 0.5)
+                    native.crop_flip_normalize(row, oy, in_x + ox, c, flip,
+                                               out=ins[k])
+                    native.crop_flip_normalize(row, oy, tg_x + ox, c, flip,
+                                               out=tgts[k])
+                yield {"input": ins, "target": tgts}
+
+    def eval_iter(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Deterministic test-mode pass: center crop, no flip, store order."""
+        from . import native
+        s, c = self.scale, self.image_size
+        o = (s - c) // 2
+        in_x, tg_x = self._offsets()
+        for j in range(len(self)):
+            row = np.asarray(self.images[j])
+            yield {"input": native.crop_flip_normalize(
+                       row, o, in_x + o, c, False)[None],
+                   "target": native.crop_flip_normalize(
+                       row, o, tg_x + o, c, False)[None],
+                   "name": f"{j:05d}"}
+
+
 def open_pyramid(path: str, batch_size: int, resolution: int,
                  seed: int = 0) -> PackedImageStore:
     """Open the ``r{resolution:04d}/`` member of a pyramid store written by

@@ -106,3 +106,87 @@ def test_open_pyramid_wrong_resolution_fails(tmp_path):
     prepack_dataset.main(["--src", src, "--out", out, "--size", "32"])
     with pytest.raises(ValueError, match="wanted 16px"):
         data.open_pyramid(out, 2, 16)
+
+
+# ---------------------------------------------------------------- paired
+
+
+def _paired_folder(tmp_path, n=6, h=40, w=80):
+    """Combined A|B images where A is a constant ramp and B = 255 - A, so
+    crop-consistency between the halves is checkable after jitter."""
+    from PIL import Image
+    src = tmp_path / "pairs"
+    src.mkdir()
+    base = ((np.arange(h)[:, None, None] * 6 + np.arange(w // 2)[None, :, None]
+             + np.arange(3)[None, None, :]) % 256).astype(np.int64)
+    for i in range(n):
+        a = ((base + i) % 256).astype(np.uint8)
+        b = 255 - a
+        Image.fromarray(np.concatenate([a, b], axis=1)).save(src / f"{i}.png")
+    return str(src)
+
+
+def test_paired_prepack_and_store(tmp_path):
+    src = _paired_folder(tmp_path)
+    out = str(tmp_path / "packedp")
+    prepack_dataset.main(["--src", src, "--out", out, "--size", "36",
+                          "--paired"])
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["paired"] and meta["height"] == 36 and meta["width"] == 72
+
+    store = data.PackedPairedStore(out, batch_size=2, image_size=32, seed=0)
+    assert len(store) == 6
+    batch = next(iter(store))
+    assert batch["input"].shape == (2, 32, 32, 3)
+    assert batch["target"].shape == (2, 32, 32, 3)
+    assert batch["input"].dtype == np.float32
+    assert -1.0 <= batch["input"].min() and batch["input"].max() <= 1.0
+    # jitter consistency: B = 255 - A must survive crop+flip (both halves
+    # got the SAME window), i.e. input + target == 0 in [-1,1] scale
+    np.testing.assert_allclose(batch["input"] + batch["target"], 0.0,
+                               atol=2 / 127.5)
+
+    # BtoA swaps the roles
+    rev = data.PackedPairedStore(out, batch_size=2, image_size=32,
+                                 which_direction="BtoA", seed=0)
+    b2 = next(iter(rev))
+    np.testing.assert_array_equal(b2["input"], batch["target"])
+
+    # eval_iter: deterministic, sequential, named
+    names = []
+    for ex in rev.eval_iter():
+        assert ex["input"].shape == (1, 32, 32, 3)
+        names.append(ex["name"])
+    assert names == [f"{i:05d}" for i in range(6)]
+
+    # guards
+    with pytest.raises(ValueError, match="exceeds"):
+        data.PackedPairedStore(out, image_size=64)
+    single = str(tmp_path / "single")
+    prepack_dataset.main(["--src", src, "--out", single, "--size", "32"])
+    with pytest.raises(ValueError, match="repack with --paired"):
+        data.PackedPairedStore(single)
+
+
+def test_pix2pix_cli_trains_from_paired_store(tmp_path):
+    src = _paired_folder(tmp_path, n=4, h=40, w=80)
+    out_store = str(tmp_path / "packedp")
+    prepack_dataset.main(["--src", src, "--out", out_store, "--size", "36",
+                          "--paired"])
+    from gan_lib_tensorflow_tpu.cli import train_pix2pix
+    run = str(tmp_path / "run")
+    train_pix2pix.main(["--steps", "2", "--batch-size", "2",
+                        "--image-size", "32", "--ngf", "8", "--ndf", "8",
+                        "--log-every", "1", "--sample-every", "2",
+                        "--ckpt-every", "2", "--compute-dtype", "fp32",
+                        "--no-mesh", "--out-dir", run, "--data", out_store])
+    recs = [json.loads(l) for l in open(os.path.join(run, "log.jsonl"))]
+    assert [r["step"] for r in recs if "step" in r][-1] == 2
+    # test mode consumes the store's deterministic eval_iter
+    train_pix2pix.main(["--mode", "test", "--out-dir", run,
+                        "--image-size", "32", "--ngf", "8", "--ndf", "8",
+                        "--batch-size", "1", "--data", out_store,
+                        "--max-test-images", "2", "--compute-dtype", "fp32",
+                        "--no-mesh"])
+    metrics = json.load(open(os.path.join(run, "test_metrics.json")))
+    assert metrics["n_examples"] == 2

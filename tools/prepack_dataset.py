@@ -74,6 +74,18 @@ def _decode(path: str, size: int) -> np.ndarray:
         return np.asarray(im, np.uint8)
 
 
+def _decode_paired(path: str, scale: int) -> np.ndarray:
+    """Combined A|B image -> uint8 [scale, 2*scale, 3] (each half resized)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        a = im.crop((0, 0, w // 2, h)).resize((scale, scale), Image.BILINEAR)
+        b = im.crop((w // 2, 0, w, h)).resize((scale, scale), Image.BILINEAR)
+        return np.concatenate([np.asarray(a, np.uint8),
+                               np.asarray(b, np.uint8)], axis=1)
+
+
 def _npz_count(files) -> int:
     total = 0
     for f in files:
@@ -102,6 +114,34 @@ def _pyramid_write(stores, labels_arrs, pos: int, chunk_u8: np.ndarray,
             labels[pos:pos + len(cur)] = labels_chunk
 
 
+def _pack_paired(args) -> None:
+    """--paired: flat folder of combined A|B images -> [N, size, 2*size, 3]
+    store (size = the SCALE resolution, e.g. 286; the train-time crop to the
+    model's image_size is PackedPairedStore's job)."""
+    kind, entries, _ = _list_inputs(args.src)
+    if kind != "files":
+        raise ValueError("--paired expects a folder of combined A|B images")
+    files = [p for p, _ in entries]
+    n = min(len(files), args.limit) if args.limit else len(files)
+    s = args.size
+    store, _ = packed.write_store(args.out, n, s, 2 * s, 3, classes=None)
+    t0 = time.time()
+    for pos in range(n):
+        store[pos] = _decode_paired(files[pos], s)
+        if (pos + 1) % (args.chunk * 4) == 0:
+            print(f"  {pos + 1}/{n} ({(pos + 1) / (time.time() - t0):.0f} img/s)",
+                  flush=True)
+    packed.finalize_store(args.out, store, None)
+    meta = json.load(open(os.path.join(args.out, packed.META_NAME)))
+    meta["paired"] = True
+    json.dump(meta, open(os.path.join(args.out, packed.META_NAME), "w"))
+    dt = time.time() - t0
+    print(json.dumps({"packed": n, "paired": True, "scale_size": s,
+                      "out": args.out, "seconds": round(dt, 1),
+                      "img_per_s": round(n / max(dt, 1e-9), 1),
+                      "bytes": int(np.prod(store.shape))}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--src", required=True)
@@ -113,7 +153,14 @@ def main(argv=None):
                         "chain) -> pyramid store with r{res:04d}/ members")
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--limit", type=int, default=0, help="cap image count (testing)")
+    p.add_argument("--paired", action="store_true",
+                   help="combined A|B images (pix2pix): store both halves at "
+                        "--size per half; per-step jitter happens in "
+                        "data.PackedPairedStore")
     args = p.parse_args(argv)
+
+    if args.paired:
+        return _pack_paired(args)
 
     resolutions = ([int(r) for r in args.resolutions.split(",")]
                    if args.resolutions else [args.size])
