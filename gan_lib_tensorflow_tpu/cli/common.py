@@ -98,12 +98,23 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
         # data the user didn't ask for
         if os.path.isdir(args.data):
             if data.is_packed_dir(args.data):
+                store = data.PackedImageStore(args.data, batch_size=batch_size,
+                                              seed=args.seed)
+                if store.image_size != image_size:
+                    raise ValueError(
+                        f"--data {args.data}: packed store is "
+                        f"{store.image_size}^2 but this model trains at "
+                        f"{image_size}^2 (repack with tools/prepack_dataset.py"
+                        f" --size {image_size})")
+                if num_classes > 0 and store.labels is None:
+                    raise ValueError(
+                        f"--data {args.data}: packed store has no labels.npy "
+                        f"but the model is conditional "
+                        f"(num_classes={num_classes})")
                 # ONE prefetch worker: measured on this 1-core host the
                 # single worker overlaps at 14.6k img/s while 2+ workers
                 # collapse to <1k (page-cache + GIL thrash; docs/PERF.md)
-                return data.ThreadedSource(
-                    data.PackedImageStore(args.data, batch_size=batch_size,
-                                          seed=args.seed), num_workers=1)
+                return data.ThreadedSource(store, num_workers=1)
             return data.ThreadedSource(
                 data.Cifar10(batch_size=batch_size, data_dir=args.data,
                              seed=args.seed))

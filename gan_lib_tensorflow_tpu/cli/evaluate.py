@@ -93,10 +93,14 @@ def _restore(args):
 
 
 def _real_image_source(args, image_size: int = 32):
-    """Resolve --data for real moments; explicit paths fail loudly."""
+    """Resolve --data for real moments; explicit sources fail loudly."""
     if args.data == "fake":
         return data_lib.FakeImages(batch_size=args.batch_size,
                                    image_size=image_size, seed=args.seed), "synthetic"
+    if args.data == "cifar10" and image_size != 32:
+        raise ValueError(
+            f"--data cifar10 is 32^2 but --model {args.model} generates "
+            f"{image_size}^2; point --data at a matching real source")
     if args.data in ("auto", "cifar10") and image_size == 32:
         try:
             return data_lib.Cifar10(batch_size=args.batch_size,
@@ -104,7 +108,7 @@ def _real_image_source(args, image_size: int = 32):
         except FileNotFoundError:
             if args.data == "cifar10":
                 raise
-    if args.data == "auto" or (args.data == "cifar10" and image_size != 32):
+    if args.data == "auto":
         return data_lib.FakeImages(batch_size=args.batch_size,
                                    image_size=image_size,
                                    seed=args.seed), "synthetic"
@@ -126,15 +130,35 @@ def _real_image_source(args, image_size: int = 32):
     raise FileNotFoundError(f"--data {args.data!r}: no such directory")
 
 
+def _extractor_name(args) -> str:
+    return ("inception_v3_pretrained" if args.inception_weights
+            else "inception_v3_random_init")
+
+
 def real_moments(args, net, mesh=None, image_size: int = 32):
-    """Real-data (mu, cov) with npz caching (--real-stats-npz)."""
+    """Real-data (mu, cov) with npz caching (--real-stats-npz).
+
+    A cached file records which feature extractor produced it; loading it
+    under a different extractor is refused — FID moments are not comparable
+    across extractors, and silently mixing them is exactly the garbage-FID
+    failure the cache metadata exists to prevent."""
     cache = args.real_stats_npz
     if cache and os.path.exists(cache):
         d = np.load(cache)
+        have = str(d["extractor"]) if "extractor" in d.files else None
+        if have is not None and have != _extractor_name(args):
+            raise ValueError(
+                f"--real-stats-npz {cache}: cached moments were computed "
+                f"with {have} but this run uses {_extractor_name(args)}; "
+                f"delete the cache or pass a different path")
         if int(d["n_real"]) != args.n_real:
             print(f"note: {cache} was computed with n_real={int(d['n_real'])}",
                   flush=True)
         return (d["mu"], d["cov"]), str(d["source"])
+    if args.n_real < args.batch_size:
+        raise ValueError(
+            f"--n-real {args.n_real} < --batch-size {args.batch_size}: "
+            f"zero real batches would be accumulated")
     src, real_source = _real_image_source(args, image_size=image_size)
     it = iter(src)
     real_batches = (next(it)["image"]
@@ -142,9 +166,7 @@ def real_moments(args, net, mesh=None, image_size: int = 32):
     mu, cov = compute_statistics(net, real_batches, net.feature_dim, mesh=mesh)
     if cache:
         np.savez(cache, mu=mu, cov=cov, n_real=args.n_real,
-                 source=real_source,
-                 extractor=("inception_v3_pretrained" if args.inception_weights
-                            else "inception_v3_random_init"))
+                 source=real_source, extractor=_extractor_name(args))
         print(f"cached real moments to {cache}", flush=True)
     return (mu, cov), real_source
 
@@ -182,8 +204,7 @@ def eval_is_fid(args) -> dict:
         batch_size=args.batch_size, rng=jax.random.PRNGKey(args.seed + 1),
         real_stats=(mu_r, cov_r), mesh=mesh)
     out["step"] = int(state.step)
-    out["extractor"] = ("inception_v3_pretrained" if args.inception_weights
-                        else "inception_v3_random_init")
+    out["extractor"] = _extractor_name(args)
     out["real_source"] = real_source
     return out
 
@@ -209,9 +230,17 @@ def eval_pggan(args) -> dict:
 
     real_src = None
     if os.path.isdir(args.data):
-        real_src = data_lib.ImageFolderFlat(
-            args.data, batch_size=bs, image_size=args.resolution,
-            seed=args.seed)
+        # prepacked store / pyramid first (the format train_pggan itself
+        # recommends and consumes); wrong-resolution stores fail loudly in
+        # open_pyramid, plain image folders fall through to the PIL loader
+        try:
+            real_src = data_lib.open_pyramid(
+                args.data, batch_size=bs, resolution=args.resolution,
+                seed=args.seed)
+        except FileNotFoundError:
+            real_src = data_lib.ImageFolderFlat(
+                args.data, batch_size=bs, image_size=args.resolution,
+                seed=args.seed)
     elif args.data != "auto":
         print(f"note: --data {args.data!r} is not a directory; "
               "skipping SWD (MS-SSIM only)", flush=True)

@@ -115,8 +115,13 @@ def swd_pyramid(
     repeats: int = 4,
 ) -> Dict[str, float]:
     """SWD x10^3 per pyramid level (Karras Table 2 layout). Both iterators
-    must yield the same number of same-shaped NHWC [-1,1] batches."""
-    n_levels = max(int(np.log2(resolution // min_res)) + 1, 1)
+    must yield the same number of same-shaped NHWC [-1,1] batches.
+
+    Resolutions below ``min_res`` (the ladder's first rungs) evaluate as a
+    single pyramid level at native resolution, with the patch size clamped to
+    fit the image."""
+    n_levels = max(int(np.log2(max(resolution // min_res, 1))) + 1, 1)
+    patch = min(patch, resolution)
     pyr = jax.jit(functools.partial(laplacian_pyramid, n_levels=n_levels))
     desc = jax.jit(functools.partial(
         _patch_descriptors, n_patches=n_patches, patch=patch))
@@ -142,8 +147,7 @@ def swd_pyramid(
             rng, k = jax.random.split(rng)
             vals.append(swd_j(dr, df, k, n_proj=n_proj))
         res = resolution // (2 ** lv)
-        out[f"swd_{max(res, min_res)}"] = float(
-            jnp.stack(vals).mean()) * 1e3
+        out[f"swd_{res}"] = float(jnp.stack(vals).mean()) * 1e3
     out["swd_avg"] = float(np.mean(list(out.values())))
     return out
 
@@ -153,18 +157,20 @@ def swd_pyramid(
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def _ssim_window(c: int) -> jnp.ndarray:
-    g = np.exp(-0.5 * ((np.arange(11) - 5.0) / 1.5) ** 2)
+def _ssim_window(c: int, win: int = 11) -> jnp.ndarray:
+    g = np.exp(-0.5 * ((np.arange(win) - (win - 1) / 2.0) / 1.5) ** 2)
     g = (g / g.sum()).astype(np.float32)
     return jnp.broadcast_to(
-        jnp.asarray(np.outer(g, g))[:, :, None, None], (11, 11, 1, c))
+        jnp.asarray(np.outer(g, g))[:, :, None, None], (win, win, 1, c))
 
 
-def _ssim_cs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _ssim_cs(a: jnp.ndarray, b: jnp.ndarray,
+             win: int = 11) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image mean luminance (l) and contrast-structure (cs) maps of SSIM
-    (Wang et al.), images in [0,1] NHWC, 11x11 gaussian window, VALID."""
+    (Wang et al.), images in [0,1] NHWC, ``win`` x ``win`` gaussian window,
+    VALID."""
     c = a.shape[-1]
-    k = _ssim_window(c)
+    k = _ssim_window(c, win)
     conv = lambda x: jax.lax.conv_general_dilated(
         x, k, (1, 1), "VALID", feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -184,15 +190,18 @@ def ms_ssim(a: jnp.ndarray, b: jnp.ndarray,
     """Multi-scale SSIM per pair (Wang 2003): cs at every scale, luminance at
     the coarsest; inputs [-1,1] NHWC, returns [B]. Scales beyond what the
     resolution supports (11px window per scale) are dropped and the remaining
-    exponents renormalized, so low PGGAN rungs still evaluate."""
-    max_scales = max(int(np.log2(min(a.shape[1], a.shape[2]) / 11)) + 1, 1)
+    exponents renormalized; images smaller than the 11px window (the ladder's
+    4^2/8^2 rungs) use a single scale with the window shrunk to the image, so
+    low PGGAN rungs still evaluate instead of returning NaN."""
+    win = min(11, a.shape[1], a.shape[2])
+    max_scales = max(int(np.log2(min(a.shape[1], a.shape[2]) / win)) + 1, 1)
     w_used = np.asarray(weights[:max_scales], np.float64)
     w_used = tuple(w_used / w_used.sum())
     a = (a + 1.0) * 0.5
     b = (b + 1.0) * 0.5
     vals = []
     for i, w in enumerate(w_used):
-        l, cs = _ssim_cs(a, b)
+        l, cs = _ssim_cs(a, b, win=win)
         if i == len(w_used) - 1:
             vals.append(jnp.clip(l * cs, 0.0, None) ** w)
         else:

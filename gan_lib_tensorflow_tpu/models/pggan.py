@@ -211,13 +211,13 @@ class PGGANGenerator(nn.Module):
         h = Conv(nf(4, wm), 3, equalized=True, compute_dtype=dt, name="conv_4")(h)
         h = pixel_norm(_lrelu(h))
 
-        prev, prev_s2d = h, False
+        prev = h  # always captured on the spatial grid (see below)
         h_s2d = False
         res = 8
         while res <= self.resolution:
             if h_s2d:  # previous level left us on the S2D grid
                 h, h_s2d = s2d.depth_to_space(h), False
-            prev, prev_s2d = h, False
+            prev = h
             use_s2d = bool(self.s2d_from) and res >= self.s2d_from
             Base = _GenBlockS2D if use_s2d else _GenBlock
             Block = (nn.remat(Base)
@@ -229,7 +229,7 @@ class PGGANGenerator(nn.Module):
 
         rgb = self._torgb(h, h_s2d, self.resolution, dt)
         if self.fade_in and self.resolution > 4:
-            rgb_prev = self._torgb(prev, prev_s2d, self.resolution // 2, dt)
+            rgb_prev = self._torgb(prev, False, self.resolution // 2, dt)
             rgb = (alpha * rgb.astype(jnp.float32)
                    + (1.0 - alpha) * upsample_nearest(rgb_prev.astype(jnp.float32)))
         return rgb.astype(jnp.float32)

@@ -48,11 +48,34 @@ class CheckpointManager:
         """Restore the newest checkpoint as a raw pytree (dict of arrays),
         without requiring a matching target structure. Use for inference-side
         consumers (sample/evaluate) that only need a subset of the state and
-        must not depend on the training run's optimizer layout."""
+        must not depend on the training run's optimizer layout.
+
+        Cross-platform: a checkpoint written on TPU records device shardings
+        that do not resolve in a CPU-only process (and vice versa); when the
+        recorded devices are absent, the restore is replayed against
+        shape/dtype metadata only, landing the arrays on the default local
+        device — evaluating a TPU-trained run on a CPU host is a supported
+        workflow, not an error."""
         step = self._mngr.latest_step()
         if step is None:
             return None
-        return self._mngr.restore(step, args=ocp.args.StandardRestore())
+        try:
+            return self._mngr.restore(step, args=ocp.args.StandardRestore())
+        except ValueError as e:
+            if "jax.local_devices" not in str(e):
+                raise
+            meta = self._mngr.item_metadata(step)
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+            def to_abstract(m):
+                if hasattr(m, "shape") and hasattr(m, "dtype"):
+                    return jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                                sharding=sharding)
+                return m
+
+            abstract = jax.tree.map(to_abstract, meta)
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()

@@ -81,3 +81,34 @@ def test_paired_deterministic_color_is_a_function_of_geometry():
     # non-background pixels carry non-gray color (the learnable signal)
     fg = a["target"][a["target"] != -1.0]
     assert fg.size > 0 and np.std(fg) > 0.1
+
+
+def _mk_store(path, size=16, n=8, labeled=False):
+    from gan_lib_tensorflow_tpu.data import packed
+    imgs, labels = packed.write_store(str(path), n, size, size, 3,
+                                      classes=["a", "b"] if labeled else None)
+    imgs[:] = 1
+    packed.finalize_store(str(path), imgs, labels)
+    return str(path)
+
+
+def test_packed_store_resolution_mismatch_fails_loudly(tmp_path):
+    """Self-review regression: a 16^2 store fed to a 32^2 model must raise,
+    not silently train the fully-convolutional D on wrong-size reals."""
+    store = _mk_store(tmp_path / "store", size=16)
+    with pytest.raises(ValueError, match=r"16\^2"):
+        common.image_source(_args(store), 4, 32, 0)
+
+
+def test_packed_store_missing_labels_for_conditional_model(tmp_path):
+    store = _mk_store(tmp_path / "store", size=16, labeled=False)
+    with pytest.raises(ValueError, match="labels.npy"):
+        common.image_source(_args(store), 4, 16, 10)
+
+
+def test_packed_store_matching_resolution_resolves(tmp_path):
+    store = _mk_store(tmp_path / "store", size=16, labeled=True)
+    src = common.image_source(_args(store), 4, 16, 2)
+    b = next(iter(src))
+    assert b["image"].shape == (4, 16, 16, 3)
+    assert b["label"].shape == (4,)

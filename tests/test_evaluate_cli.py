@@ -138,3 +138,57 @@ def test_evaluate_imagenet_packed_store_size_mismatch(tmp_path):
                                  model="imagenet")
     with pytest.raises(ValueError, match="32\\^2"):
         eval_cli._real_image_source(args, image_size=128)
+
+
+def test_real_moments_cache_extractor_mismatch_refused(tmp_path):
+    """Cached moments from one feature extractor must not be silently
+    compared against features from another (self-review fix)."""
+    import pytest
+    net = FixedFeatureNet(image_size=32, feature_dim=16)
+    cache = str(tmp_path / "stats.npz")
+    args = types.SimpleNamespace(
+        data="fake", seed=0, batch_size=8, n_real=16,
+        real_stats_npz=cache, inception_weights=None)
+    eval_cli.real_moments(args, net)
+    args_pre = types.SimpleNamespace(
+        data="fake", seed=0, batch_size=8, n_real=16,
+        real_stats_npz=cache, inception_weights="some_weights.npz")
+    with pytest.raises(ValueError, match="inception_v3_random_init"):
+        eval_cli.real_moments(args_pre, net)
+
+
+def test_real_moments_n_real_below_batch_raises(tmp_path):
+    import pytest
+    args = types.SimpleNamespace(
+        data="fake", seed=0, batch_size=100, n_real=50,
+        real_stats_npz=None, inception_weights=None)
+    with pytest.raises(ValueError, match="zero real batches"):
+        eval_cli.real_moments(args, None)
+
+
+def test_real_image_source_explicit_cifar_resolution_mismatch():
+    import pytest
+    args = types.SimpleNamespace(data="cifar10", seed=0, batch_size=8,
+                                 model="imagenet")
+    with pytest.raises(ValueError, match=r"32\^2"):
+        eval_cli._real_image_source(args, image_size=128)
+
+
+def test_evaluate_pggan_packed_store_real_source(tmp_path):
+    """--data pointing at a prepacked store (the format train_pggan consumes)
+    must feed the SWD branch instead of crashing in ImageFolderFlat."""
+    from gan_lib_tensorflow_tpu.data import packed
+
+    ckpt_dir = _pggan_ckpt(tmp_path)
+    store = tmp_path / "store"
+    imgs, _ = packed.write_store(str(store), 8, 16, 16, 3)
+    imgs[:] = np.random.default_rng(0).integers(0, 256, imgs.shape, np.uint8)
+    packed.finalize_store(str(store), imgs, None)
+
+    out_json = str(tmp_path / "result.json")
+    eval_cli.main(["--model", "pggan", "--ckpt-dir", ckpt_dir,
+                   "--resolution", "16", "--width-mul", str(1 / 16),
+                   "--n-samples", "40", "--batch-size", "4",
+                   "--data", str(store), "--out-json", out_json])
+    rec = json.loads(open(out_json).read())
+    assert np.isfinite(rec["swd_16"]) and np.isfinite(rec["swd_avg"])

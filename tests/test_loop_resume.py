@@ -52,3 +52,34 @@ def test_fault_injection_then_auto_resume(tmp_path):
     assert int(final.step) == 10
     assert ckpt2.latest_step() == 10
     ckpt2.close()
+
+
+def test_restore_latest_raw_cross_platform_fallback(tmp_path, monkeypatch):
+    """A checkpoint whose recorded shardings name devices absent from this
+    process (TPU-trained -> CPU eval) restores via shape/dtype metadata onto
+    the default local device instead of failing (self-review fix; observed
+    driving cli.evaluate against a TPU-trained PGGAN ladder on CPU)."""
+    import jax.numpy as jnp
+    from gan_lib_tensorflow_tpu.train import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+    cm.save(5, {"w": jnp.arange(3.0), "step": 5}, wait=True)
+
+    # simulate the cross-platform failure: the sharding-replaying restore
+    # raises exactly orbax's device-not-found error once, then delegate
+    real_restore = cm._mngr.restore
+    state = {"first": True}
+
+    def wrapped(step, args=None):
+        if state["first"]:
+            state["first"] = False
+            raise ValueError(
+                "Device TPU v5 lite0 was not found in jax.local_devices().")
+        return real_restore(step, args=args)
+
+    monkeypatch.setattr(cm._mngr, "restore", wrapped)
+    raw = cm.restore_latest_raw()
+    cm.close()
+    assert not state["first"]  # fallback path actually ran
+    assert int(raw["step"]) == 5
+    np.testing.assert_array_equal(np.asarray(raw["w"]), [0.0, 1.0, 2.0])

@@ -190,3 +190,27 @@ def test_pix2pix_cli_trains_from_paired_store(tmp_path):
                         "--no-mesh"])
     metrics = json.load(open(os.path.join(run, "test_metrics.json")))
     assert metrics["n_examples"] == 2
+
+
+def test_prepack_npz_label_reindex_is_global(tmp_path):
+    """1-indexed detection is decided once over ALL shards: a 0-indexed shard
+    whose min label happens to be 1 must NOT be shifted (self-review fix)."""
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 8, 8, 3), np.uint8)
+    # shard A contains class 0; shard B's min label is 1 but is 0-indexed
+    np.savez(tmp_path / "a.npz", data=imgs, labels=np.array([0, 2, 1, 3]))
+    np.savez(tmp_path / "b.npz", data=imgs, labels=np.array([1, 3, 2, 1]))
+    out = str(tmp_path / "store")
+    prepack_dataset.main(["--src", str(tmp_path), "--out", out,
+                          "--size", "8"])
+    labels = np.load(os.path.join(out, "labels.npy"))
+    np.testing.assert_array_equal(labels, [0, 2, 1, 3, 1, 3, 2, 1])
+
+    # genuinely 1-indexed shards (both min >= 1, global min == 1) DO shift
+    np.savez(tmp_path / "a.npz", data=imgs, labels=np.array([1, 2, 4, 3]))
+    np.savez(tmp_path / "b.npz", data=imgs, labels=np.array([2, 4, 3, 1]))
+    out2 = str(tmp_path / "store2")
+    prepack_dataset.main(["--src", str(tmp_path), "--out", out2,
+                          "--size", "8"])
+    labels2 = np.load(os.path.join(out2, "labels.npy"))
+    np.testing.assert_array_equal(labels2, [0, 1, 3, 2, 1, 3, 2, 0])

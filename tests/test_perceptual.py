@@ -83,3 +83,28 @@ def test_ms_ssim_diversity_detects_mode_collapse():
     m_div, _ = pc.ms_ssim_diversity(diverse, jax.random.PRNGKey(7),
                                     n_pairs=8, batch_size=4)
     assert m_col > 0.9 > m_div
+
+
+def test_ms_ssim_below_window_resolution_is_finite():
+    """8^2 ladder rung: the window shrinks to the image instead of the VALID
+    conv going empty and poisoning the metric with NaN (self-review fix)."""
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    other = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    s_same = np.asarray(pc.ms_ssim(a, a))
+    s_other = np.asarray(pc.ms_ssim(a, other))
+    assert np.isfinite(s_same).all() and np.isfinite(s_other).all()
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
+    assert (s_other < s_same).all()
+
+
+def test_swd_pyramid_below_min_res():
+    """resolution < min_res (the ladder's first rungs) evaluates as one
+    native-resolution level instead of raising OverflowError."""
+    rng = np.random.default_rng(7)
+    mk = lambda: [rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
+                  for _ in range(2)]
+    out = pc.swd_pyramid(iter(mk()), iter(mk()), resolution=8, min_res=16,
+                         n_patches=16, n_proj=32, repeats=1)
+    assert set(out) == {"swd_8", "swd_avg"}
+    assert np.isfinite(out["swd_avg"])

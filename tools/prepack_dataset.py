@@ -192,6 +192,20 @@ def main(argv=None):
     t0 = time.time()
     pos = 0
     if kind == "npz":
+        # 1-indexed label detection must be decided ONCE over the whole
+        # dataset, not per shard: a 0-indexed shard that happens to contain
+        # no class-0 sample would otherwise be shifted while its siblings
+        # are not, silently corrupting the label space
+        label_min = None
+        for f in entries:
+            with np.load(f) as d:
+                y = np.asarray(d["labels"] if "labels" in d else d["label"])
+                m = int(y.min())
+                label_min = m if label_min is None else min(label_min, m)
+        shift = 1 if label_min == 1 else 0
+        if shift:
+            print("note: labels are 1-indexed across all npz files; "
+                  "reindexing to 0-based", flush=True)
         for f in entries:
             if pos >= n:
                 break
@@ -199,9 +213,8 @@ def main(argv=None):
                 x = d["data"]
                 if x.ndim == 2:
                     x = x.reshape(-1, 3, args.size, args.size).transpose(0, 2, 3, 1)
-                y = np.asarray(d["labels"] if "labels" in d else d["label"], np.int64)
-                if y.min() == 1:
-                    y = y - 1
+                y = np.asarray(d["labels"] if "labels" in d else d["label"],
+                               np.int64) - shift
                 for i in range(0, len(x), args.chunk):
                     if pos >= n:
                         break
