@@ -59,23 +59,38 @@ class CheckpointManager:
         step = self._mngr.latest_step()
         if step is None:
             return None
+        import logging
+
+        class _QuietDeviceNotFound(logging.Filter):
+            # orbax error-logs every array's device-not-found before raising
+            # one ValueError; during the probe+fallback that is pure noise
+            def filter(self, record):
+                return "was not found in jax.local_devices" not in record.getMessage()
+
+        quiet = _QuietDeviceNotFound()
+        logging.getLogger().addFilter(quiet)
         try:
-            return self._mngr.restore(step, args=ocp.args.StandardRestore())
-        except ValueError as e:
-            if "jax.local_devices" not in str(e):
-                raise
-            meta = self._mngr.item_metadata(step)
-            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            try:
+                return self._mngr.restore(step,
+                                          args=ocp.args.StandardRestore())
+            except ValueError as e:
+                if "jax.local_devices" not in str(e):
+                    raise
+                meta = self._mngr.item_metadata(step)
+                sharding = jax.sharding.SingleDeviceSharding(
+                    jax.local_devices()[0])
 
-            def to_abstract(m):
-                if hasattr(m, "shape") and hasattr(m, "dtype"):
-                    return jax.ShapeDtypeStruct(m.shape, m.dtype,
-                                                sharding=sharding)
-                return m
+                def to_abstract(m):
+                    if hasattr(m, "shape") and hasattr(m, "dtype"):
+                        return jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                                    sharding=sharding)
+                    return m
 
-            abstract = jax.tree.map(to_abstract, meta)
-            return self._mngr.restore(
-                step, args=ocp.args.StandardRestore(abstract))
+                abstract = jax.tree.map(to_abstract, meta)
+                return self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(abstract))
+        finally:
+            logging.getLogger().removeFilter(quiet)
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()
