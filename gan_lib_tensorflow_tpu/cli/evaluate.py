@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--num-classes", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resolution", type=int, default=64, help="pggan only")
+    p.add_argument("--swd-samples", type=int, default=None,
+                   help="pggan only: image count per side for SWD (default "
+                        "n_samples//10; Karras scale = 16384)")
     p.add_argument("--width-mul", type=float, default=1.0,
                    help="pggan/imagenet channel-width multiplier")
     p.add_argument("--out-json", default=None,
@@ -245,17 +248,31 @@ def eval_pggan(args) -> dict:
         print(f"note: --data {args.data!r} is not a directory; "
               "skipping SWD (MS-SSIM only)", flush=True)
     if real_src is not None:
-        n_b = max(args.n_samples // (10 * bs), 1)
+        import time
+        swd_n = args.swd_samples or max(args.n_samples // 10, bs)
+        n_b = max(swd_n // bs, 1)
         it = iter(real_src)
-        rng = jax.random.PRNGKey(args.seed + 1)
-        fake = []
-        for i in range(n_b):
-            rng, sub = jax.random.split(rng)
-            fake.append(sampler(state, sub, bs))
+
+        def fake_batches():
+            # lazy: one sampled batch in flight at a time. Pre-materializing
+            # all fake images would hold n_b*bs full-resolution floats on
+            # device (12.9 GB at 16,384 x 256^2) — far beyond HBM; the
+            # pyramid descriptors swd_pyramid keeps are ~50x smaller.
+            rng = jax.random.PRNGKey(args.seed + 1)
+            for _ in range(n_b):
+                rng, sub = jax.random.split(rng)
+                yield sampler(state, sub, bs)
+
+        t0 = time.perf_counter()
         out.update(perceptual.swd_pyramid(
-            (next(it)["image"] for _ in range(n_b)), iter(fake),
+            (next(it)["image"] for _ in range(n_b)), fake_batches(),
             resolution=args.resolution, seed=args.seed))
         out["swd_images"] = n_b * bs
+        out["swd_seconds"] = round(time.perf_counter() - t0, 2)
+        stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+        if stats and "peak_bytes_in_use" in stats:
+            out["swd_peak_hbm_gb"] = round(
+                stats["peak_bytes_in_use"] / 2**30, 3)
     return out
 
 

@@ -54,14 +54,24 @@ def find_cifar(data_dir: str | None):
 
 def resolve_inception(path: str | None, out_dir: str):
     """Return a converted-npz path, invoking the weight converter for raw
-    keras/torch files; None if nothing usable."""
+    keras/torch files; None if nothing usable.
+
+    The conversion cache is keyed on the SOURCE file's absolute path + mtime
+    + size, so repointing ``--inception-weights`` at different raw weights
+    (or replacing the file in place) re-converts instead of silently serving
+    a stale npz from an earlier source."""
     if not path:
         return None
     if not os.path.exists(path):
         return None
     if path.endswith(".npz"):
         return path
-    converted = os.path.join(out_dir, "inception_v3_converted.npz")
+    import hashlib
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    converted = os.path.join(out_dir, f"inception_v3_converted.{key}.npz")
     if os.path.exists(converted):
         return converted
     import subprocess
@@ -127,6 +137,15 @@ def main(argv=None):
     from . import evaluate as evaluate_cli
     from . import train_sngan
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
+    if args.skip_train and not os.path.isdir(ckpt_dir):
+        print(f"--skip-train: no checkpoint at {ckpt_dir}. Train first:\n"
+              f"  python -m gan_lib_tensorflow_tpu.cli.north_star"
+              + (" --smoke" if args.smoke else
+                 f" --data-dir {args.data_dir or '<dir>'}"
+                 f" --inception-weights "
+                 f"{args.inception_weights or '<weights>'}")
+              + f" --out-dir {args.out_dir}")
+        return 2
     if not args.skip_train:
         # smoke: one final ckpt/sample (orbax saves over the tunnel dominate
         # tiny runs); graded: reference-like periodic cadence

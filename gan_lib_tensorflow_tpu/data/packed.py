@@ -14,8 +14,13 @@ Store layout (one directory):
   images.u8   raw [N, H, W, C] uint8, C-contiguous (np.memmap'd read-only)
   labels.npy  int32 [N] (absent for unlabeled/flat datasets)
 
-A 60 GB ImageNet-128 store stays on disk: RSS is bounded by the page cache's
-working set, not the dataset (tests assert the mapping is not resident).
+A 60 GB ImageNet-128 store stays on disk: the process heap never holds the
+dataset — batch assembly reads file-backed pages through the read-only
+memmap (reclaimable page cache), copying only one batch at a time into
+anonymous memory. ``tests/test_packed.py::test_streaming_heap_bound``
+asserts this: a full streamed epoch over a store grows the heap
+(``/proc/self/statm`` data segment) by ≪ the store size;
+``tools/bench_loader.py --rss-demo`` measures the page-cache side.
 """
 
 from __future__ import annotations
@@ -81,6 +86,12 @@ class PackedImageStore(DataSource):
         self.labels = np.load(labels_path) if os.path.exists(labels_path) else None
         self.num_classes = m.get("num_classes", 0)
         self.image_size = m["height"]
+        if m["n"] < batch_size:
+            # the infinite __iter__ would yield ZERO batches per epoch and
+            # spin forever — fail loudly instead of hanging
+            raise ValueError(
+                f"store {path} holds {m['n']} images < batch_size "
+                f"{batch_size}; shrink --batch-size or repack more images")
         self.batch_size = batch_size
         self.seed = seed
         self.path = path
@@ -138,6 +149,12 @@ class PackedPairedStore(DataSource):
         self.image_size = image_size
         self.which_direction = which_direction
         self.flip = flip
+        if m["n"] < batch_size:
+            # same loud failure as PackedImageStore: an epoch with zero
+            # batches would make __iter__ spin forever
+            raise ValueError(
+                f"store {path} holds {m['n']} pairs < batch_size "
+                f"{batch_size}; shrink --batch-size or repack more images")
         self.batch_size = batch_size
         self.seed = seed
         self.path = path

@@ -145,7 +145,8 @@ class DeviceEvalAccumulator:
                 "n": acc["n"] + b,
                 "s1": acc["s1"] + f.sum(0),
                 "s2": acc["s2"] + jnp.matmul(
-                    f.T, f, preferred_element_type=jnp.float32),
+                    f.T, f, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
                 "plogp": acc["plogp"].at[sid].add(
                     (p * jnp.log(p + 1e-16)).sum(-1)),
                 "py": acc["py"].at[sid].add(p),
@@ -177,8 +178,10 @@ class DeviceEvalAccumulator:
 
     def _ensure_acc(self, images=None, rng=None):
         if self._acc is None:
-            # one un-donated probe call to learn the class count; its feats
-            # are folded by the regular update below, so nothing is wasted
+            # one un-donated probe call to learn the class count. The probe's
+            # forward pass is discarded — the update that follows recomputes
+            # it — so the first batch's COMPUTE is paid twice (once per eval);
+            # no samples are lost
             probe = images if images is not None else self.sample_fn(rng)
             _, logits = self.feature_fn(probe)
             self._acc = self._init_acc(logits.shape[-1])

@@ -9,9 +9,10 @@ vs generated images and (b) MS-SSIM between random pairs of generated images
 TPU-native: every stage — pyramid construction (depthwise convs), patch
 descriptor gather, random projections (one MXU matmul), per-direction sorts,
 and the MS-SSIM window statistics — is jax and jit-friendly; only the final
-scalars come to host. Patch descriptors are a few hundred MB at Karras scale
-(16k images x 128 descriptors), so descriptor extraction is batched and the
-sort runs once per level over the pooled device array.
+scalars come to host. Patch descriptors are ~1.2 GB/side per level at Karras
+scale (16,384 images x 128 descriptors at 7x7x3), so descriptor extraction is
+batched and the projection+sort runs in direction chunks (``lax.map``) over
+the pooled device array, bounding peak memory at one chunk.
 """
 
 from __future__ import annotations
@@ -90,17 +91,33 @@ def _normalize_descriptors(d: jnp.ndarray, patch: int, c: int) -> jnp.ndarray:
 
 
 def sliced_wasserstein(a: jnp.ndarray, b: jnp.ndarray, rng: jax.Array,
-                       n_proj: int = 512) -> jnp.ndarray:
+                       n_proj: int = 512, proj_chunk: int = 128) -> jnp.ndarray:
     """SWD between two equal-sized descriptor sets: project both onto
     ``n_proj`` random unit directions (one matmul each), sort along the
     sample axis per direction, mean absolute difference of the sorted
-    projections."""
+    projections.
+
+    Directions are processed ``proj_chunk`` at a time under ``lax.map`` so
+    peak memory is one [n_samples, proj_chunk] buffer per side, not
+    [n_samples, n_proj] — at Karras scale (16,384 imgs x 128 descriptors =
+    2.1M rows) the unchunked sort buffers would be ~4.3 GB/side in fp32.
+    The projection matmul runs at HIGHEST precision: descriptor values are
+    O(1) after normalization and bf16 multiplies would perturb the sorted
+    order (the matmul is tiny — [N,147]x[147,chunk])."""
     dim = a.shape[-1]
-    dirs = jax.random.normal(rng, (dim, n_proj))
+    proj_chunk = min(proj_chunk, n_proj)
+    n_chunks = -(-n_proj // proj_chunk)
+    dirs = jax.random.normal(rng, (dim, n_chunks * proj_chunk))
     dirs = dirs / (jnp.linalg.norm(dirs, axis=0, keepdims=True) + 1e-12)
-    pa = jnp.sort(a @ dirs, axis=0)
-    pb = jnp.sort(b @ dirs, axis=0)
-    return jnp.abs(pa - pb).mean()
+    dirs = dirs.reshape(dim, n_chunks, proj_chunk).transpose(1, 0, 2)
+
+    def one_chunk(d):
+        hi = jax.lax.Precision.HIGHEST
+        pa = jnp.sort(jnp.matmul(a, d, precision=hi), axis=0)
+        pb = jnp.sort(jnp.matmul(b, d, precision=hi), axis=0)
+        return jnp.abs(pa - pb).mean()
+
+    return jax.lax.map(one_chunk, dirs).mean()
 
 
 def swd_pyramid(
@@ -138,7 +155,8 @@ def swd_pyramid(
 
     c = 3
     out = {}
-    swd_j = jax.jit(sliced_wasserstein, static_argnames="n_proj")
+    swd_j = jax.jit(sliced_wasserstein,
+                    static_argnames=("n_proj", "proj_chunk"))
     for lv in range(n_levels):
         dr = _normalize_descriptors(jnp.concatenate(per_level_r[lv]), patch, c)
         df = _normalize_descriptors(jnp.concatenate(per_level_f[lv]), patch, c)

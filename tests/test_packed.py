@@ -214,3 +214,60 @@ def test_prepack_npz_label_reindex_is_global(tmp_path):
                           "--size", "8"])
     labels2 = np.load(os.path.join(out2, "labels.npy"))
     np.testing.assert_array_equal(labels2, [0, 1, 3, 2, 1, 3, 2, 0])
+
+
+def test_store_smaller_than_batch_raises(tmp_path):
+    """An epoch with zero batches would make the infinite __iter__ spin
+    forever; both store classes must fail loudly at construction instead
+    (ADVICE r3)."""
+    from gan_lib_tensorflow_tpu.data import packed
+
+    imgs, _ = packed.write_store(str(tmp_path / "small"), 8, 16, 16, 3)
+    packed.finalize_store(str(tmp_path / "small"), imgs, None)
+    with pytest.raises(ValueError, match="8 images < batch_size 100"):
+        data.PackedImageStore(str(tmp_path / "small"), batch_size=100)
+
+    imgs, _ = packed.write_store(str(tmp_path / "smallp"), 4, 16, 32, 3)
+    packed.finalize_store(str(tmp_path / "smallp"), imgs, None)
+    meta_p = tmp_path / "smallp" / "meta.json"
+    meta = json.loads(meta_p.read_text())
+    meta["paired"] = True
+    meta_p.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="4 pairs < batch_size 16"):
+        data.PackedPairedStore(str(tmp_path / "smallp"), batch_size=16,
+                               image_size=16)
+
+
+def _statm_data_mb() -> float:
+    """Anonymous data+stack segment of this process, in MB (statm field 6,
+    pages). File-backed memmap pages do NOT count here — exactly the
+    distinction the store's no-heap-copy claim is about."""
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[5]) * os.sysconf("SC_PAGE_SIZE") / 2**20
+
+
+def test_streaming_heap_bound(tmp_path):
+    """Backs data/packed.py's header claim: streaming an epoch must not pull
+    the store into anonymous memory — heap growth stays a small fraction of
+    the store size (the store streams through reclaimable page cache)."""
+    from gan_lib_tensorflow_tpu.data import packed
+
+    n, size = 3000, 64  # 3000*64*64*3 = ~35 MB store
+    imgs, _ = packed.write_store(str(tmp_path / "big"), n, size, size, 3)
+    imgs[:] = 127  # touch every page once at write time
+    packed.finalize_store(str(tmp_path / "big"), imgs, None)
+    del imgs
+    store_mb = n * size * size * 3 / 2**20
+
+    store = data.PackedImageStore(str(tmp_path / "big"), batch_size=50)
+    it = iter(store)
+    next(it)  # warm: allocator pools, native lib, first batch buffers
+    before = _statm_data_mb()
+    for _ in range(n // 50 - 1):  # the rest of one full epoch
+        b = next(it)
+    after = _statm_data_mb()
+    assert b["image"].shape == (50, size, size, 3)
+    growth = after - before
+    # one batch is ~2.3 MB float32; allow allocator slack but stay far
+    # below the 35 MB store
+    assert growth < store_mb / 4, (growth, store_mb)

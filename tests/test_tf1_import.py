@@ -190,3 +190,17 @@ def test_explicit_map_pins_a_variable(fixture_ckpt, tmp_path):
     report = json.load(open(os.path.join(out, "import_report.json")))
     hows = {m["tf"]: m["how"] for m in report["generator"]["matched"]}
     assert hows[named[0][0]] == "explicit"
+
+
+def test_typod_map_key_fails_loudly(fixture_ckpt, tmp_path):
+    """A --map pin whose TF name exists in NEITHER network must abort: a typo
+    would otherwise silently fall back to the heuristic alignment the pin was
+    meant to override (ADVICE r3)."""
+    prefix, gv, dv, named = fixture_ckpt
+    first = sorted(imp.flatten_variables(gv), key=lambda t: imp._natkey(t[0]))[0]
+    map_path = tmp_path / "map.json"
+    map_path.write_text(json.dumps({"Generator.99.W_typo": first[0]}))
+    with pytest.raises(SystemExit, match="not in the checkpoint"):
+        imp.main(["--ckpt", prefix, "--model", "acgan",
+                  "--out-dir", str(tmp_path / "imported"),
+                  "--map", str(map_path)])

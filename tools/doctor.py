@@ -99,6 +99,31 @@ def main(argv=None) -> int:
     so = os.path.join(REPO, "native", "libganpipe.so")
     report["native_lib"] = {"ok": os.path.exists(so), "path": so}
 
+    # north-star asset status (BASELINE.json:5): is the graded FID <= 25
+    # verdict runnable on this machine, and if so, with what one-liner?
+    sys.path.insert(0, REPO)
+    from gan_lib_tensorflow_tpu.cli import north_star
+    cifar_dir = north_star.find_cifar(os.environ.get("CIFAR_DIR"))
+    weight_candidates = [
+        w for w in (os.environ.get("INCEPTION_WEIGHTS"),
+                    "data/inception_v3.npz", "data/inception_v3.h5",
+                    os.path.expanduser("~/data/inception_v3.npz"))
+        if w and os.path.exists(w)]
+    report["north_star_assets"] = {
+        "cifar10": cifar_dir or "MISSING (cifar-10-batches-py not found)",
+        "inception_weights": weight_candidates[0] if weight_candidates
+        else "MISSING (set INCEPTION_WEIGHTS or drop data/inception_v3.npz)",
+    }
+    if cifar_dir and weight_candidates:
+        report["north_star_assets"]["graded_command"] = (
+            f"python -m gan_lib_tensorflow_tpu.cli.north_star "
+            f"--data-dir {cifar_dir} "
+            f"--inception-weights {weight_candidates[0]}")
+    else:
+        report["north_star_assets"]["graded_command"] = (
+            "BLOCKED until the assets above exist; "
+            "`--smoke` wiring check is always available")
+
     healthy = (report["device_enumeration"]["ok"]
                and (args.quick or report["device_compute"]["ok"]))
     report["verdict"] = (

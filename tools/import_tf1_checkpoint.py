@@ -354,6 +354,15 @@ def main(argv=None) -> int:
     if args.map_json:
         with open(args.map_json) as f:
             explicit = json.load(f)
+        # validate every pin against the UNION of G/D variables up front: a
+        # typo'd TF name would otherwise be skipped by both per-network match
+        # passes (each correctly skips the other network's pins) and silently
+        # fall back to the heuristic alignment the pin was meant to override
+        unknown = sorted(set(explicit) - set(g_tf) - set(d_tf))
+        if unknown:
+            raise SystemExit(
+                f"--map: TF variable(s) not in the checkpoint: {unknown}; "
+                f"available: {sorted(set(g_tf) | set(d_tf))[:20]} ...")
 
     g, d, g_init, d_init = build_models(args)
     g_vars = g_init(jax.random.PRNGKey(0))
