@@ -68,3 +68,53 @@ def test_plot_ladder_renders_and_orders_phases(tmp_path):
     out = tmp_path / "ladder.png"
     plot_ladder.main([str(run), "--out", str(out)])
     assert out.exists() and out.stat().st_size > 1000
+
+
+def _write_log(run_dir, rows):
+    run_dir.mkdir(parents=True, exist_ok=True)
+    with open(run_dir / "log.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_report_run_healthy_shape(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import report_run
+    finally:
+        sys.path.pop(0)
+    run = tmp_path / "run"
+    rows = []
+    # healthy hinge: early transient ~2 decaying into a ~0.9 band
+    for i, step in enumerate(range(500, 10001, 500)):
+        d = 2.0 if i < 2 else 0.9 + 0.01 * (i % 3)
+        rows.append({"step": step, "d_loss": d, "g_loss": -0.5,
+                     "sec_per_step": 0.013})
+    rows[-1]["fid"] = 24.0
+    _write_log(run, rows)
+    (run / "ckpt" / "10000").mkdir(parents=True)
+    rep = report_run.analyze(str(run))
+    assert rep["flags"] == []
+    assert rep["last_step"] == 10000
+    assert rep["eval"]["fid"]["best"]["value"] == 24.0
+    assert rep["checkpoints"] == [10000]
+    band = rep["losses"]["d_loss"]["final_decile"]["mean"]
+    assert 0.8 < band < 1.0
+    # CLI exit code 0 on a clean run
+    rc = report_run.main([str(run)])
+    assert rc == 0
+
+
+def test_report_run_flags_saturated_d(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import report_run
+    finally:
+        sys.path.pop(0)
+    run = tmp_path / "sat"
+    rows = [{"step": s, "d_loss": 0.0, "g_loss": 1.0}
+            for s in range(100, 2001, 100)]
+    _write_log(run, rows)
+    rep = report_run.analyze(str(run))
+    assert any("saturated" in fl for fl in rep["flags"])
+    assert report_run.main([str(run)]) == 1
