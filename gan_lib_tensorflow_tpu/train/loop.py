@@ -10,6 +10,7 @@ the GANSpec + sample callback.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable, Iterator, Optional
 
 import jax
@@ -37,6 +38,45 @@ class LoopConfig:
     trace_dir: Optional[str] = None
     trace_steps: int = 0             # capture a trace for steps [10, 10+n)
     fault_inject_step: int = 0       # crash at this step (resume testing)
+
+
+# Substrings identifying backend faults that are worth retrying: tunnel/RPC
+# drops surface as INTERNAL/UNAVAILABLE JaxRuntimeErrors (e.g. "remote_compile:
+# read body: response body closed" — the exact error that killed a 100k-step
+# run at 67.5k during an eval pause). Genuine program errors (shape mismatches,
+# NaN checks) don't carry these markers and still propagate.
+_TRANSIENT_MARKERS = (
+    "INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+    "remote_compile", "response body closed", "Connection reset",
+)
+_AUX_RETRIES = 2
+_AUX_BACKOFF_S = 30.0
+
+
+def _run_aux(label: str, fn: Callable[[], Any]) -> Any:
+    """Run an auxiliary (non-training) callback — periodic eval or sample.
+
+    A transient backend fault here must not kill the run: the training state
+    is intact on device and checkpoints bound the loss, so the right policy is
+    retry-with-backoff, then loudly skip this one eval/sample. Returns None on
+    skip.
+    """
+    for attempt in range(_AUX_RETRIES + 1):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:  # pragma: no branch
+            msg = str(e)
+            if not any(m in msg for m in _TRANSIENT_MARKERS):
+                raise
+            first_line = msg.splitlines()[0] if msg else repr(e)
+            if attempt == _AUX_RETRIES:
+                print(f"[loop] {label} SKIPPED after {attempt + 1} transient "
+                      f"backend failures: {first_line}", flush=True)
+                return None
+            print(f"[loop] transient backend failure in {label} "
+                  f"(attempt {attempt + 1}/{_AUX_RETRIES + 1}): {first_line}; "
+                  f"retrying in {_AUX_BACKOFF_S:.0f}s", flush=True)
+            time.sleep(_AUX_BACKOFF_S)
 
 
 def train_loop(
@@ -103,12 +143,13 @@ def train_loop(
             logger.log(it, host_metrics)
             logger.flush(it)
         if sample_fn is not None and (it % config.sample_every == 0 or it == config.total_steps):
-            sample_fn(state, it)
+            _run_aux(f"sample@{it}", lambda: sample_fn(state, it))
         if (eval_fn is not None and config.eval_every
                 and (it % config.eval_every == 0 or it == config.total_steps)):
             # periodic IS/FID pause, like the reference's every-N-iter eval
-            scores = eval_fn(state, it)
-            logger.flush(it, extra=scores)
+            scores = _run_aux(f"eval@{it}", lambda: eval_fn(state, it))
+            if scores is not None:
+                logger.flush(it, extra=scores)
         if ckpt is not None and (it % config.checkpoint_every == 0 or it == config.total_steps):
             ckpt.save(it, state)
 

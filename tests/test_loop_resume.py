@@ -83,3 +83,47 @@ def test_restore_latest_raw_cross_platform_fallback(tmp_path, monkeypatch):
     assert not state["first"]  # fallback path actually ran
     assert int(raw["step"]) == 5
     np.testing.assert_array_equal(np.asarray(raw["w"]), [0.0, 1.0, 2.0])
+
+
+def test_aux_retry_transient_then_success(monkeypatch):
+    """A transient backend fault in an eval/sample pause retries and recovers
+    (the exact failure that killed a 100k-step run at 67.5k: tunnel INTERNAL
+    error during the periodic eval)."""
+    from gan_lib_tensorflow_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "_AUX_BACKOFF_S", 0.0)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: read body: "
+                "response body closed before all bytes were read")
+        return {"fid": 1.0}
+
+    assert loop_mod._run_aux("eval@100", flaky) == {"fid": 1.0}
+    assert calls["n"] == 3
+
+
+def test_aux_skips_after_persistent_transient(monkeypatch, capsys):
+    from gan_lib_tensorflow_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "_AUX_BACKOFF_S", 0.0)
+
+    def always_down():
+        raise jax.errors.JaxRuntimeError("UNAVAILABLE: backend unreachable")
+
+    assert loop_mod._run_aux("eval@200", always_down) is None
+    assert "SKIPPED" in capsys.readouterr().out
+
+
+def test_aux_reraises_real_errors():
+    """Genuine program errors (no transient marker) must still propagate."""
+    from gan_lib_tensorflow_tpu.train import loop as loop_mod
+
+    def broken():
+        raise jax.errors.JaxRuntimeError("an unrelated shape error")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        loop_mod._run_aux("eval@300", broken)
