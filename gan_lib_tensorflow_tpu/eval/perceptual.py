@@ -9,10 +9,12 @@ vs generated images and (b) MS-SSIM between random pairs of generated images
 TPU-native: every stage — pyramid construction (depthwise convs), patch
 descriptor gather, random projections (one MXU matmul), per-direction sorts,
 and the MS-SSIM window statistics — is jax and jit-friendly; only the final
-scalars come to host. Patch descriptors are ~1.2 GB/side per level at Karras
-scale (16,384 images x 128 descriptors at 7x7x3), so descriptor extraction is
-batched and the projection+sort runs in direction chunks (``lax.map``) over
-the pooled device array, bounding peak memory at one chunk.
+scalars come to host. Patch descriptors at Karras scale are 16,384 images x
+128 descriptors x 7x7x3 per level per side, so they are stored in fp16
+(~616 MB/level/side), each level is normalized+scored+freed before the next,
+and the projection+sort runs in direction chunks (``lax.map``) over the
+pooled device array, bounding peak memory at the fp16 store plus one level
+in flight.
 """
 
 from __future__ import annotations
@@ -68,7 +70,11 @@ def _patch_descriptors(imgs: jnp.ndarray, rng: jax.Array,
     """Random patch x patch x C descriptors, ``n_patches`` per image.
 
     One fancy-gather builds all patches at once (no per-patch host loop):
-    index grids of shape [B, P, patch, patch]."""
+    index grids of shape [B, P, patch, patch]. Returned in float16: the
+    descriptors are accumulated on device across the whole eval set (~616 MB
+    per level per side at Karras scale even in fp16), and laplacian values
+    are O(1) so half precision costs ~1e-3 relative noise, well below the
+    SWD's repeat-to-repeat spread."""
     b, h, w, c = imgs.shape
     ky, kx = jax.random.split(rng)
     y0 = jax.random.randint(ky, (b, n_patches), 0, h - patch + 1)
@@ -78,16 +84,25 @@ def _patch_descriptors(imgs: jnp.ndarray, rng: jax.Array,
     xx = x0[:, :, None, None] + dy[None, None, None, :]
     bb = jnp.arange(b)[:, None, None, None]
     patches = imgs[bb, yy, xx, :]  # [B, P, patch, patch, C]
-    return patches.reshape(b * n_patches, patch * patch * c)
+    return patches.reshape(b * n_patches, patch * patch * c).astype(
+        jnp.float16)
 
 
+@functools.partial(jax.jit, static_argnames=("patch", "c"))
 def _normalize_descriptors(d: jnp.ndarray, patch: int, c: int) -> jnp.ndarray:
     """Karras-style: remove per-channel mean/std computed over the whole
-    descriptor set."""
+    descriptor set. Jitted so the whole pass fuses into one read of ``d``
+    and one write of the output (out-of-jit, the ``(dc-mu)/sd`` chain
+    materialized two full-set fp32 temporaries — the round-4 Karras-scale
+    OOM); statistics accumulate in fp32 regardless of storage dtype."""
     dc = d.reshape(d.shape[0], patch * patch, c)
-    mu = dc.mean(axis=(0, 1), keepdims=True)
-    sd = dc.std(axis=(0, 1), keepdims=True) + 1e-8
-    return ((dc - mu) / sd).reshape(d.shape)
+    mu = jnp.mean(dc, axis=(0, 1), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(dc.astype(jnp.float32)), axis=(0, 1), keepdims=True,
+    ) - jnp.square(mu)
+    sd = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8
+    out = (dc.astype(jnp.float32) - mu) / sd
+    return out.astype(d.dtype).reshape(d.shape)
 
 
 def sliced_wasserstein(a: jnp.ndarray, b: jnp.ndarray, rng: jax.Array,
@@ -158,14 +173,28 @@ def swd_pyramid(
     swd_j = jax.jit(sliced_wasserstein,
                     static_argnames=("n_proj", "proj_chunk"))
     for lv in range(n_levels):
-        dr = _normalize_descriptors(jnp.concatenate(per_level_r[lv]), patch, c)
-        df = _normalize_descriptors(jnp.concatenate(per_level_f[lv]), patch, c)
+        # Process-and-free one level at a time: concatenate, drop the shard
+        # list, normalize (fused, fp16 out), drop the raw concat, SWD, drop
+        # the normalized sets. At Karras scale (16,384 imgs x 128 patches x
+        # 5 levels x 2 sides) keeping every level's fp32 descriptors resident
+        # through the loop was ~12 GB before the first sort buffer — the OOM
+        # this structure replaces. Peak is now the fp16 store (~6 GB) + one
+        # level in flight (~2 GB).
+        raw_r = jnp.concatenate(per_level_r[lv])
+        per_level_r[lv] = None
+        dr = _normalize_descriptors(raw_r, patch, c)
+        del raw_r
+        raw_f = jnp.concatenate(per_level_f[lv])
+        per_level_f[lv] = None
+        df = _normalize_descriptors(raw_f, patch, c)
+        del raw_f
         vals = []
         for rep in range(repeats):
             rng, k = jax.random.split(rng)
-            vals.append(swd_j(dr, df, k, n_proj=n_proj))
+            vals.append(float(swd_j(dr, df, k, n_proj=n_proj)))
+        del dr, df
         res = resolution // (2 ** lv)
-        out[f"swd_{res}"] = float(jnp.stack(vals).mean()) * 1e3
+        out[f"swd_{res}"] = float(np.mean(vals)) * 1e3
     out["swd_avg"] = float(np.mean(list(out.values())))
     return out
 
