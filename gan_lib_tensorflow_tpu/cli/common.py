@@ -40,7 +40,22 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans for NaN provenance (slow; "
                         "SURVEY.md §5 race/sanitizer row)")
+    p.add_argument("--device-cache", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="hold packed stores resident in HBM and ship only "
+                        "per-step indices (auto: when the store fits "
+                        "--device-cache-gb; docs/PERF.md host->device "
+                        "transfer law)")
+    p.add_argument("--device-cache-gb", type=float, default=2.0,
+                   help="HBM budget for --device-cache auto/on")
     return p
+
+
+def device_cache_kwargs(args) -> dict:
+    """--device-cache flags -> data.packed_training_source kwargs (tolerates
+    hand-built args namespaces that predate the flags)."""
+    return {"policy": getattr(args, "device_cache", "auto"),
+            "budget_bytes": int(getattr(args, "device_cache_gb", 2.0) * 2**30)}
 
 
 def configure(args) -> None:
@@ -64,7 +79,8 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
                  n_micro: int = 1, mesh=None):
     """Resolve --data to a DataSource.
 
-    'auto' prefers real CIFAR-10 (threaded prefetcher), falling back to
+    'auto' prefers real CIFAR-10 (device-cached in HBM when it fits the
+    --device-cache-gb budget, else a threaded prefetcher), falling back to
     synthetic with a note; 'cifar10' requires it; an explicit PATH must exist
     and resolve (cifar pickle dir, or a prepacked uint8 memmap store from
     tools/prepack_dataset.py) — a path never falls back silently;
@@ -74,10 +90,25 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
     non-degenerate multi-blob style for long GAN runs)."""
     import os
     from .. import data
+
+    def _cifar(data_dir=None):
+        # the pickled store is 150 MB of uint8 — device-cache it whenever the
+        # policy allows (per-step wire cost collapses to the index array;
+        # docs/PERF.md host->device transfer law)
+        store = data.Cifar10(batch_size=batch_size, data_dir=data_dir,
+                             seed=args.seed)
+        kw = device_cache_kwargs(args)
+        if (kw["policy"] != "off"
+                and store.images.nbytes <= kw["budget_bytes"]):
+            return data.DeviceCachedStore(
+                images=store.images, labels=store.labels, num_classes=10,
+                batch_size=batch_size, n_micro=n_micro, seed=args.seed,
+                mesh=mesh)
+        return data.ThreadedSource(store)
+
     if args.data in ("auto", "cifar10"):
         try:
-            return data.ThreadedSource(
-                data.Cifar10(batch_size=batch_size, seed=args.seed))
+            return _cifar()
         except FileNotFoundError:
             if args.data == "cifar10":
                 raise
@@ -111,13 +142,13 @@ def image_source(args, batch_size: int, image_size: int, num_classes: int,
                         f"--data {args.data}: packed store has no labels.npy "
                         f"but the model is conditional "
                         f"(num_classes={num_classes})")
-                # ONE prefetch worker: measured on this 1-core host the
-                # single worker overlaps at 14.6k img/s while 2+ workers
-                # collapse to <1k (page-cache + GIL thrash; docs/PERF.md)
-                return data.ThreadedSource(store, num_workers=1)
-            return data.ThreadedSource(
-                data.Cifar10(batch_size=batch_size, data_dir=args.data,
-                             seed=args.seed))
+                # device-cache when it fits (per-step wire cost = one index
+                # array), else stream uint8 with ONE prefetch worker
+                # (single-core law + wire law, docs/PERF.md)
+                return data.packed_training_source(
+                    args.data, batch_size=batch_size, n_micro=n_micro,
+                    seed=args.seed, mesh=mesh, **device_cache_kwargs(args))
+            return _cifar(data_dir=args.data)
         raise FileNotFoundError(f"--data {args.data!r}: no such directory")
     return data.ThreadedSource(
         data.FakeImages(batch_size=batch_size, image_size=image_size,

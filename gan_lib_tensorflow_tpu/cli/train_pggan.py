@@ -101,11 +101,15 @@ def main(argv=None):
 
             def source_factory(res, batch):
                 # prepacked pyramid (tools/prepack_dataset.py --resolutions):
-                # each phase reads its own-resolution uint8 memmap store
-                # through the native fused gather — zero per-step decode or
-                # downsample work at any rung
-                return data_lib.ThreadedSource(data_lib.open_pyramid(
-                    args.data, batch, res, seed=args.seed), num_workers=1)
+                # each phase gets its own-resolution uint8 store — held
+                # device-resident when it fits the HBM budget (per-step wire
+                # cost = one index array; the low rungs' stores are tiny) and
+                # streamed as uint8 otherwise (docs/PERF.md transfer law)
+                return data_lib.packed_training_source(
+                    data_lib.resolve_pyramid_dir(args.data, res),
+                    batch_size=batch, n_micro=1, seed=args.seed, mesh=mesh,
+                    spatial_axis=cfg.spatial_axis,
+                    **common.device_cache_kwargs(args))
         else:
 
             def source_factory(res, batch):

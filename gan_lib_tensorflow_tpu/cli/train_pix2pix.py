@@ -59,11 +59,20 @@ def paired_source(args, threaded: bool = True, num_workers: int = 2,
             # translator can actually learn them (see data/fake.py)
             deterministic_color=args.data.endswith("-det"))
     elif data_lib.is_packed_dir(args.data):
-        # prepacked paired store (tools/prepack_dataset.py --paired): the
-        # only real-data path that feeds the measured batch-32 step rate on
-        # this single-core host (docs/PERF.md input-pipeline law); the store
-        # fixes scale_size, jitter happens per step. ONE prefetch worker, as
-        # for every packed store (2+ collapse on a single core — PERF.md law)
+        # prepacked paired store (tools/prepack_dataset.py --paired); the
+        # store fixes scale_size, jitter happens per step. Train mode
+        # device-caches the store when it fits (jitter+normalize run
+        # on-accelerator; per-step wire cost = indices+offsets, docs/PERF.md
+        # transfer law); test mode needs the host store's deterministic
+        # eval_iter. Streaming fallback: ONE prefetch worker (2+ collapse on
+        # a single core — PERF.md law)
+        if threaded:
+            return data_lib.packed_paired_training_source(
+                args.data, batch_size=args.batch_size,
+                image_size=args.image_size,
+                which_direction=args.which_direction, flip=not args.no_flip,
+                n_micro=n_micro, seed=args.seed, mesh=mesh,
+                **common.device_cache_kwargs(args))
         num_workers = 1
         base = data_lib.PackedPairedStore(
             args.data, batch_size=args.batch_size,

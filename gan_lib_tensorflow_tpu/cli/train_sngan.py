@@ -100,7 +100,12 @@ def main(argv=None):
         def real_batches():
             for _ in range(max(args.eval_samples // eval_bs, 1)):
                 img = jnp.asarray(next(real_src)["image"])
-                yield img[0] if img.ndim == 5 else img  # unstack n_micro
+                img = img[0] if img.ndim == 5 else img  # unstack n_micro
+                if img.dtype == jnp.uint8:
+                    # uint8-wire streaming source: normalize on device (the
+                    # train path does this in prefetch_to_device)
+                    img = img.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+                yield img
 
         # on-device moment accumulation (features never reach host)
         real_stats = compute_statistics(net, real_batches(), net.feature_dim,

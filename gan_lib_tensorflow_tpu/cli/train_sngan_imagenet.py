@@ -74,13 +74,14 @@ def main(argv=None):
         if not os.path.exists(args.data):
             raise FileNotFoundError(f"--data {args.data!r}: no such path")
         if data_lib.is_packed_dir(args.data):
-            # prepacked uint8 memmap store (tools/prepack_dataset.py) — the
-            # only real-data path that feeds the measured step rate on this
-            # host (docs/PERF.md input-pipeline law). ONE prefetch worker:
-            # 14.6k img/s measured vs <1k with 2+ (single-core thrash)
-            source = data_lib.ThreadedSource(data_lib.PackedImageStore(
-                args.data, batch_size=args.batch_size, seed=args.seed),
-                num_workers=1)
+            # prepacked uint8 memmap store (tools/prepack_dataset.py):
+            # device-cached in HBM when it fits (per-step wire cost = one
+            # index array — the host->device link is the measured bottleneck,
+            # docs/PERF.md transfer law), else streamed as uint8 with ONE
+            # prefetch worker (single-core law)
+            source = data_lib.packed_training_source(
+                args.data, batch_size=args.batch_size, n_micro=spec.n_micro,
+                seed=args.seed, mesh=mesh, **common.device_cache_kwargs(args))
         elif args.data.endswith(".npz") or glob_has_npz(args.data):
             source = data_lib.ThreadedSource(data_lib.ImageNetNpz(
                 args.data, batch_size=args.batch_size, seed=args.seed))

@@ -19,7 +19,10 @@ from .imagenet import ImageFolderByClass, ImageFolderFlat, ImageNetNpz
 from .paired import PairedImageFolder
 from .multires import MultiResolution
 from .packed import (PackedImageStore, PackedPairedStore, is_packed_dir,
-                     open_pyramid)
+                     open_pyramid, resolve_pyramid_dir)
+from .device_cache import (DeviceCachedPairedStore, DeviceCachedStore,
+                           packed_paired_training_source,
+                           packed_training_source)
 from .pipeline import ThreadedSource
 
 __all__ = [
@@ -30,5 +33,8 @@ __all__ = [
     "PairedImageFolder",
     "MultiResolution",
     "PackedImageStore", "PackedPairedStore", "is_packed_dir", "open_pyramid",
+    "resolve_pyramid_dir",
+    "DeviceCachedStore", "packed_training_source",
+    "DeviceCachedPairedStore", "packed_paired_training_source",
     "ThreadedSource",
 ]

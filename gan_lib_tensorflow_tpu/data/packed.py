@@ -70,9 +70,17 @@ class PackedImageStore(DataSource):
     memmap (uint8 -> float32 [-1,1]); indices are sorted within each batch so
     the page-cache access pattern is quasi-sequential (order within a shuffled
     training batch is irrelevant; label pairing is preserved).
+
+    ``wire_dtype="uint8"`` skips the host-side normalize and yields raw uint8
+    batches — 4x fewer bytes over the host->device link; the device side of
+    the pipeline (``prefetch_to_device``) normalizes on-accelerator with the
+    bit-identical formula. This is the streaming mode for stores too big for
+    ``DeviceCachedStore`` on hosts with a slow device link (docs/PERF.md
+    "host->device transfer law").
     """
 
-    def __init__(self, path: str, batch_size: int = 64, seed: int = 0):
+    def __init__(self, path: str, batch_size: int = 64, seed: int = 0,
+                 wire_dtype: str = "float32"):
         meta_path = os.path.join(path, META_NAME)
         if not os.path.isfile(meta_path):
             raise FileNotFoundError(f"not a packed store (no {META_NAME}): {path}")
@@ -95,6 +103,9 @@ class PackedImageStore(DataSource):
         self.batch_size = batch_size
         self.seed = seed
         self.path = path
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"wire_dtype must be float32|uint8, got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
 
     def __len__(self) -> int:
         return int(self.meta["n"])
@@ -103,11 +114,13 @@ class PackedImageStore(DataSource):
         from . import native
         rng = np.random.default_rng(self.seed)
         n = len(self)
+        u8 = self.wire_dtype == "uint8"
         while True:
             order = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
                 idx = np.sort(order[i:i + self.batch_size])
-                out = {"image": native.gather_normalize(self.images, idx)}
+                out = {"image": (self.images[idx] if u8
+                                 else native.gather_normalize(self.images, idx))}
                 if self.labels is not None:
                     out["label"] = self.labels[idx]
                 yield out
@@ -209,19 +222,27 @@ class PackedPairedStore(DataSource):
                    "name": f"{j:05d}"}
 
 
-def open_pyramid(path: str, batch_size: int, resolution: int,
-                 seed: int = 0) -> PackedImageStore:
-    """Open the ``r{resolution:04d}/`` member of a pyramid store written by
-    ``tools/prepack_dataset.py --resolutions`` (falls back to ``path`` itself
-    when it is a single-resolution store of the right size)."""
+def resolve_pyramid_dir(path: str, resolution: int) -> str:
+    """Resolve the store directory for ``resolution``: the
+    ``r{resolution:04d}/`` member of a pyramid store written by
+    ``tools/prepack_dataset.py --resolutions``, or ``path`` itself when it is
+    a single-resolution store of the right size. Fails loudly otherwise."""
     sub = os.path.join(path, f"r{resolution:04d}")
     if is_packed_dir(sub):
-        return PackedImageStore(sub, batch_size=batch_size, seed=seed)
+        return sub
     if is_packed_dir(path):
-        store = PackedImageStore(path, batch_size=batch_size, seed=seed)
-        if store.image_size != resolution:
+        with open(os.path.join(path, META_NAME)) as f:
+            height = json.load(f)["height"]
+        if height != resolution:
             raise ValueError(
-                f"store {path} is {store.image_size}px, wanted {resolution}px "
+                f"store {path} is {height}px, wanted {resolution}px "
                 f"and no r{resolution:04d}/ member exists")
-        return store
+        return path
     raise FileNotFoundError(f"no packed store at {path} (or {sub})")
+
+
+def open_pyramid(path: str, batch_size: int, resolution: int,
+                 seed: int = 0) -> PackedImageStore:
+    """Open the pyramid member (or matching single store) at ``resolution``."""
+    return PackedImageStore(resolve_pyramid_dir(path, resolution),
+                            batch_size=batch_size, seed=seed)

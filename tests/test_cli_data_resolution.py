@@ -38,7 +38,16 @@ def test_explicit_cifar_dir_resolves(tmp_path):
             pickle.dump({b"data": rng.integers(0, 256, (8, 3072), np.uint8),
                          b"labels": rng.integers(0, 10, 8).tolist()}, f)
     src = common.image_source(_args(str(d)), 4, 32, 10)
+    # 40 uint8 images trivially fit the HBM budget -> device-cached stacks
+    assert isinstance(src, data.DeviceCachedStore)
     b = next(iter(src))
+    assert b["image"].shape == (1, 4, 32, 32, 3)
+    assert b["image"].dtype == np.float32 and float(b["image"].max()) <= 1.001
+
+    import types
+    off = types.SimpleNamespace(data=str(d), seed=0, no_mesh=True,
+                                device_cache="off")
+    b = next(iter(common.image_source(off, 4, 32, 10)))
     assert b["image"].shape == (4, 32, 32, 3)
 
 
@@ -109,6 +118,8 @@ def test_packed_store_missing_labels_for_conditional_model(tmp_path):
 def test_packed_store_matching_resolution_resolves(tmp_path):
     store = _mk_store(tmp_path / "store", size=16, labeled=True)
     src = common.image_source(_args(store), 4, 16, 2)
+    # small store + default auto policy -> device-cached [n_micro, B] stacks
+    assert isinstance(src, data.DeviceCachedStore)
     b = next(iter(src))
-    assert b["image"].shape == (4, 16, 16, 3)
-    assert b["label"].shape == (4,)
+    assert b["image"].shape == (1, 4, 16, 16, 3)
+    assert b["label"].shape == (1, 4)

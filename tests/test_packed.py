@@ -96,8 +96,17 @@ def test_image_source_resolves_packed_dir(tmp_path):
     from gan_lib_tensorflow_tpu.cli import common
     args = types.SimpleNamespace(data=out, seed=0, no_mesh=True)
     source = common.image_source(args, 4, 32, 2)
+    # small store + default auto policy -> device-resident cache yielding
+    # [n_micro, B, ...] stacks (round-4 host->device transfer law)
+    assert isinstance(source, data.DeviceCachedStore)
     b = next(iter(source))
-    assert b["image"].shape == (4, 32, 32, 3) and "label" in b
+    assert b["image"].shape == (1, 4, 32, 32, 3) and "label" in b
+
+    args_off = types.SimpleNamespace(data=out, seed=0, no_mesh=True,
+                                     device_cache="off")
+    streamed = common.image_source(args_off, 4, 32, 2)
+    b = next(iter(streamed))
+    assert b["image"].shape == (4, 32, 32, 3) and b["image"].dtype == np.uint8
 
 
 def test_open_pyramid_wrong_resolution_fails(tmp_path):
