@@ -244,6 +244,17 @@ def eval_pggan(args) -> dict:
             real_src = data_lib.ImageFolderFlat(
                 args.data, batch_size=bs, image_size=args.resolution,
                 seed=args.seed)
+    elif args.data in ("device-rich", "device-fake"):
+        # reals rendered on-accelerator at eval resolution — the same
+        # distribution train_pggan's device-synthetic twin trains on, at
+        # zero host/prepack cost (a 16,384-image real side at 1024² would
+        # be a 51 GB uint8 store taking ~hours to prepack on a 1-core
+        # host; the device renderer produces it batch-by-batch for free)
+        dev = data_lib.DeviceFakeImages(
+            batch_size=bs, image_size=args.resolution, num_classes=1,
+            seed=args.seed, n_micro=1,
+            style="rich" if args.data == "device-rich" else "blobs")
+        real_src = ({"image": b["image"][0]} for b in dev)
     elif args.data != "auto":
         print(f"note: --data {args.data!r} is not a directory; "
               "skipping SWD (MS-SSIM only)", flush=True)

@@ -61,6 +61,20 @@ def test_evaluate_pggan_without_real_dir_skips_swd(tmp_path, capsys):
     assert "ms_ssim" in rec and "swd_avg" not in rec
 
 
+def test_evaluate_pggan_device_real_source(tmp_path):
+    """--data device-rich renders the SWD real side on-accelerator (no
+    prepacked store needed — the path the 1024² Karras eval uses)."""
+    ckpt_dir = _pggan_ckpt(tmp_path)
+    out_json = str(tmp_path / "result.json")
+    eval_cli.main(["--model", "pggan", "--ckpt-dir", ckpt_dir,
+                   "--resolution", "16", "--width-mul", str(1 / 16),
+                   "--n-samples", "40", "--batch-size", "4",
+                   "--data", "device-rich", "--out-json", out_json])
+    rec = json.loads(open(out_json).read())
+    assert np.isfinite(rec["swd_16"]) and np.isfinite(rec["swd_avg"])
+    assert rec["swd_images"] > 0
+
+
 def test_real_moments_npz_cache_roundtrip(tmp_path):
     """First call computes + saves; second call loads without touching the
     data source (VERDICT Missing #1: cached real moments)."""
