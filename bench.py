@@ -27,8 +27,21 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "baselines_cpu.json")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_CACHE = os.path.join(_REPO, "baselines_cpu.json")
+
+# Persistent XLA compile cache: the two watchdog-aborted driver benches
+# (BENCH_r03/r04) died inside the ~13-min cold compile window through the
+# tunnel. A repo-local cache primed earlier in the round makes the driver's
+# end-of-round run compile in seconds. Best-effort — the experimental axon
+# backend may decline to serialize executables, in which case this is a no-op.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception as e:  # pragma: no cover
+    print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 
 def build_step(compute_dtype, cpu: bool = False, mesh=None):
