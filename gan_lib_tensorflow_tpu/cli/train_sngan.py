@@ -94,22 +94,38 @@ def main(argv=None):
         from ..eval.inception_v3 import InceptionV3Features
         net = InceptionV3Features(params_npz=args.inception_weights)
         eval_bs = 100
-        real_src = iter(common.image_source(args, eval_bs, 32,
-                                            max(args.num_classes, 10)))
+        n_real_batches = max(args.eval_samples // eval_bs, 1)
+        from ..data.device_cache import DeviceCachedStore
+        if (isinstance(source, DeviceCachedStore)
+                and n_real_batches * eval_bs <= len(source)
+                and (mesh is None or eval_bs % mesh.shape["data"] == 0)):
+            # reuse the training store's resident HBM buffer for the one-time
+            # real-moment pass — a second image_source() would upload and
+            # keep a full duplicate of the dataset in HBM (ADVICE r4)
+            real_it = source.sequential_batches(eval_bs, n_real_batches)
+        else:
+            def real_batches():
+                # the source lives in THIS generator frame only, so
+                # exhausting it (compute_statistics) releases the buffers
+                real_src = iter(common.image_source(args, eval_bs, 32,
+                                                    max(args.num_classes, 10)))
+                for _ in range(n_real_batches):
+                    img = jnp.asarray(next(real_src)["image"])
+                    img = img[0] if img.ndim == 5 else img  # unstack n_micro
+                    if img.dtype == jnp.uint8:
+                        # uint8-wire streaming source: normalize on device
+                        # (the train path does this in prefetch_to_device)
+                        img = img.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+                    yield img
 
-        def real_batches():
-            for _ in range(max(args.eval_samples // eval_bs, 1)):
-                img = jnp.asarray(next(real_src)["image"])
-                img = img[0] if img.ndim == 5 else img  # unstack n_micro
-                if img.dtype == jnp.uint8:
-                    # uint8-wire streaming source: normalize on device (the
-                    # train path does this in prefetch_to_device)
-                    img = img.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-                yield img
+            real_it = real_batches()
 
         # on-device moment accumulation (features never reach host)
-        real_stats = compute_statistics(net, real_batches(), net.feature_dim,
+        real_stats = compute_statistics(net, real_it, net.feature_dim,
                                         mesh=mesh)
+        # moments are all eval needs; drop the iterator (and with it any
+        # second store the fallback path materialized) before training
+        del real_it
 
         def eval_fn(st, it):
             return evaluate_generator(

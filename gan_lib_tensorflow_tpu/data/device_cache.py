@@ -70,10 +70,13 @@ def packed_training_source(path: str, batch_size: int, n_micro: int = 1,
             m = json.load(f)
         nbytes = m["n"] * m["height"] * m["width"] * m["channels"]
         if policy == "on" or nbytes <= budget_bytes:
+            # max_bytes passed in BOTH policies: the constructor (which
+            # counts images+labels) is the single budget authority; the
+            # meta-only pre-check above merely picks cache-vs-stream
+            # (ADVICE r4: the two size checks must not drift)
             return DeviceCachedStore(
                 path, batch_size=batch_size, n_micro=n_micro, seed=seed,
-                mesh=mesh, spatial_axis=spatial_axis,
-                max_bytes=budget_bytes if policy == "on" else None)
+                mesh=mesh, spatial_axis=spatial_axis, max_bytes=budget_bytes)
         print(f"note: packed store {path} is {nbytes / 2**30:.2f} GiB > "
               f"device-cache budget {budget_bytes / 2**30:.2f} GiB; "
               "streaming with uint8 wire", flush=True)
@@ -82,6 +85,20 @@ def packed_training_source(path: str, batch_size: int, n_micro: int = 1,
         PackedImageStore(path, batch_size=batch_size, seed=seed,
                          wire_dtype="uint8"),
         num_workers=1)
+
+
+def _epoch_permutation(store, epoch: int) -> np.ndarray:
+    """Memoized per-epoch shuffle: the permutation is a pure function of
+    (seed, epoch), so regenerating the full O(n) shuffle on EVERY step (as
+    the first cut did — hundreds of thousands of entries per step for
+    near-budget stores, ADVICE r4) buys nothing; one copy per epoch is
+    cached on the instance and resume determinism is untouched."""
+    cached = getattr(store, "_perm_cache", None)
+    if cached is None or cached[0] != epoch:
+        order = np.random.default_rng((store.seed, epoch)).permutation(store.n)
+        store._perm_cache = (epoch, order)
+        return order
+    return cached[1]
 
 
 class DeviceCachedStore:
@@ -178,7 +195,7 @@ class DeviceCachedStore:
         a pure function of (seed, pos): O(1) seek for resume."""
         take = self.n_micro * self.batch_size
         epoch, off = divmod(pos, self._steps_per_epoch)
-        order = np.random.default_rng((self.seed, epoch)).permutation(self.n)
+        order = _epoch_permutation(self, epoch)
         sl = order[off * take:(off + 1) * take]
         return sl.reshape(self.n_micro, self.batch_size).astype(np.int32)
 
@@ -189,6 +206,23 @@ class DeviceCachedStore:
             idx = self.indices_for(self._pos)
             self._pos += 1
             yield self._gather(self._images, self._labels, idx)
+
+    def sequential_batches(self, batch_size: int, n_batches: int):
+        """Normalized [B, H, W, C] float batches gathered from the RESIDENT
+        store (unshuffled, first ``n_batches * batch_size`` images) — for
+        one-shot eval passes like real FID moments. Reusing the training
+        store's HBM buffer avoids uploading a second replica of the whole
+        dataset through the (slow) host link just to read it once
+        (ADVICE r4: train_sngan's eval path held two copies for the run's
+        lifetime). Does not advance the training stream position."""
+        if n_batches * batch_size > self.n:
+            raise ValueError(
+                f"sequential_batches({batch_size}, {n_batches}) needs "
+                f"{n_batches * batch_size} images but the store holds {self.n}")
+        for i in range(n_batches):
+            idx = np.arange(i * batch_size, (i + 1) * batch_size,
+                            dtype=np.int32).reshape(1, batch_size)
+            yield self._gather(self._images, self._labels, idx)["image"][0]
 
 
 def packed_paired_training_source(path: str, batch_size: int,
@@ -214,8 +248,7 @@ def packed_paired_training_source(path: str, batch_size: int,
             return DeviceCachedPairedStore(
                 path, batch_size=batch_size, image_size=image_size,
                 which_direction=which_direction, flip=flip, n_micro=n_micro,
-                seed=seed, mesh=mesh,
-                max_bytes=budget_bytes if policy == "on" else None)
+                seed=seed, mesh=mesh, max_bytes=budget_bytes)
         print(f"note: paired store {path} is {nbytes / 2**30:.2f} GiB > "
               f"device-cache budget {budget_bytes / 2**30:.2f} GiB; "
               "streaming with host jitter", flush=True)
@@ -322,7 +355,7 @@ class DeviceCachedPairedStore:
         """(idx, oy, ox, flip) for step ``pos`` — pure in (seed, pos)."""
         take = self.n_micro * self.batch_size
         epoch, off = divmod(pos, self._steps_per_epoch)
-        order = np.random.default_rng((self.seed, epoch)).permutation(self.n)
+        order = _epoch_permutation(self, epoch)
         idx = order[off * take:(off + 1) * take].astype(np.int32)
         jr = np.random.default_rng((self.seed, pos, 1))
         span = self.scale - self.image_size + 1

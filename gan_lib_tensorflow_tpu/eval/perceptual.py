@@ -66,7 +66,8 @@ def laplacian_pyramid(x: jnp.ndarray, n_levels: int) -> List[jnp.ndarray]:
 # ------------------------------------------------------------------- SWD
 
 def _patch_descriptors(imgs: jnp.ndarray, rng: jax.Array,
-                       n_patches: int, patch: int) -> jnp.ndarray:
+                       n_patches: int, patch: int,
+                       desc_dtype=jnp.float16) -> jnp.ndarray:
     """Random patch x patch x C descriptors, ``n_patches`` per image.
 
     One fancy-gather builds all patches at once (no per-patch host loop):
@@ -85,7 +86,7 @@ def _patch_descriptors(imgs: jnp.ndarray, rng: jax.Array,
     bb = jnp.arange(b)[:, None, None, None]
     patches = imgs[bb, yy, xx, :]  # [B, P, patch, patch, C]
     return patches.reshape(b * n_patches, patch * patch * c).astype(
-        jnp.float16)
+        desc_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("patch", "c"))
@@ -145,6 +146,7 @@ def swd_pyramid(
     n_proj: int = 512,
     seed: int = 0,
     repeats: int = 4,
+    desc_dtype=jnp.float16,
 ) -> Dict[str, float]:
     """SWD x10^3 per pyramid level (Karras Table 2 layout). Both iterators
     must yield the same number of same-shaped NHWC [-1,1] batches.
@@ -156,7 +158,8 @@ def swd_pyramid(
     patch = min(patch, resolution)
     pyr = jax.jit(functools.partial(laplacian_pyramid, n_levels=n_levels))
     desc = jax.jit(functools.partial(
-        _patch_descriptors, n_patches=n_patches, patch=patch))
+        _patch_descriptors, n_patches=n_patches, patch=patch,
+        desc_dtype=desc_dtype))
 
     rng = jax.random.PRNGKey(seed)
     per_level_r: List[List[jnp.ndarray]] = [[] for _ in range(n_levels)]
@@ -196,6 +199,10 @@ def swd_pyramid(
         res = resolution // (2 ** lv)
         out[f"swd_{res}"] = float(np.mean(vals)) * 1e3
     out["swd_avg"] = float(np.mean(list(out.values())))
+    # storage dtype recorded for cross-run comparability (ADVICE r4: fp16
+    # descriptor storage is a deliberate deviation from the reference's fp32
+    # pipeline; tests/test_perceptual.py pins the fp16-vs-fp32 tolerance)
+    out["swd_desc_dtype"] = jnp.dtype(desc_dtype).name
     return out
 
 

@@ -40,38 +40,75 @@ class LoopConfig:
     fault_inject_step: int = 0       # crash at this step (resume testing)
 
 
-# Substrings identifying backend faults that are worth retrying: tunnel/RPC
-# drops surface as INTERNAL/UNAVAILABLE JaxRuntimeErrors (e.g. "remote_compile:
-# read body: response body closed" — the exact error that killed a 100k-step
-# run at 67.5k during an eval pause). Genuine program errors (shape mismatches,
-# NaN checks) don't carry these markers and still propagate.
-_TRANSIENT_MARKERS = (
-    "INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+# Markers identifying backend faults that are worth retrying: tunnel/RPC drops
+# surface as JaxRuntimeErrors whose status line starts with INTERNAL:/
+# UNAVAILABLE:/DEADLINE_EXCEEDED: (e.g. "INTERNAL: ... remote_compile: read
+# body: response body closed" — the exact error that killed a 100k-step run at
+# 67.5k during an eval pause). Status names are matched as LINE PREFIXES, not
+# substrings, so a deterministic program error merely mentioning "INTERNAL" in
+# its payload still propagates; the tunnel-transport markers below are matched
+# anywhere because they only ever come from the RPC layer.
+_TRANSIENT_STATUS_PREFIXES = (
+    "INTERNAL:", "UNAVAILABLE:", "DEADLINE_EXCEEDED:",
+)
+_TRANSIENT_TRANSPORT_MARKERS = (
     "remote_compile", "response body closed", "Connection reset",
 )
 _AUX_RETRIES = 2
 _AUX_BACKOFF_S = 30.0
+# A fault that survives retries on this many CONSECUTIVE invocations of the
+# same callback kind is not transient — a persistently failing eval must not
+# be silently skipped for the rest of a 100k-step run (ADVICE r4).
+_AUX_MAX_CONSECUTIVE_SKIPS = 3
 
 
-def _run_aux(label: str, fn: Callable[[], Any]) -> Any:
+def _is_transient(msg: str) -> bool:
+    if any(m in msg for m in _TRANSIENT_TRANSPORT_MARKERS):
+        return True
+    return any(line.lstrip().startswith(p)
+               for line in msg.splitlines()
+               for p in _TRANSIENT_STATUS_PREFIXES)
+
+
+def _run_aux(label: str, fn: Callable[[], Any],
+             skip_counts: Optional[dict] = None,
+             logger: Optional[ScalarLogger] = None,
+             step: int = 0) -> Any:
     """Run an auxiliary (non-training) callback — periodic eval or sample.
 
     A transient backend fault here must not kill the run: the training state
     is intact on device and checkpoints bound the loss, so the right policy is
-    retry-with-backoff, then loudly skip this one eval/sample. Returns None on
-    skip.
+    retry-with-backoff, then loudly skip this one eval/sample (recorded in the
+    JSONL log, not just stdout). Returns None on skip. If the same callback
+    kind skips ``_AUX_MAX_CONSECUTIVE_SKIPS`` times in a row the fault is
+    treated as deterministic and re-raised — retry-forever would silently
+    disable all periodic evals for the rest of the run.
     """
+    kind = label.split("@", 1)[0]
     for attempt in range(_AUX_RETRIES + 1):
         try:
-            return fn()
+            result = fn()
+            if skip_counts is not None:
+                skip_counts[kind] = 0
+            return result
         except jax.errors.JaxRuntimeError as e:  # pragma: no branch
             msg = str(e)
-            if not any(m in msg for m in _TRANSIENT_MARKERS):
+            if not _is_transient(msg):
                 raise
             first_line = msg.splitlines()[0] if msg else repr(e)
             if attempt == _AUX_RETRIES:
+                n_skips = 1
+                if skip_counts is not None:
+                    n_skips = skip_counts[kind] = skip_counts.get(kind, 0) + 1
+                if n_skips >= _AUX_MAX_CONSECUTIVE_SKIPS:
+                    print(f"[loop] {label} failed on {n_skips} consecutive "
+                          f"invocations — treating as deterministic, "
+                          f"re-raising", flush=True)
+                    raise
                 print(f"[loop] {label} SKIPPED after {attempt + 1} transient "
                       f"backend failures: {first_line}", flush=True)
+                if logger is not None:
+                    logger.flush(step, extra={f"aux_skip/{kind}": float(n_skips)})
                 return None
             print(f"[loop] transient backend failure in {label} "
                   f"(attempt {attempt + 1}/{_AUX_RETRIES + 1}): {first_line}; "
@@ -118,6 +155,7 @@ def train_loop(
 
     metrics = None
     trace_active = False
+    aux_skips: dict = {}
     for step, batch in zip(range(start_step, config.total_steps), batches):
         if config.trace_steps and step == start_step + 10:
             jax.profiler.start_trace(config.trace_dir or (config.out_dir or ".") + "/trace")
@@ -143,11 +181,13 @@ def train_loop(
             logger.log(it, host_metrics)
             logger.flush(it)
         if sample_fn is not None and (it % config.sample_every == 0 or it == config.total_steps):
-            _run_aux(f"sample@{it}", lambda: sample_fn(state, it))
+            _run_aux(f"sample@{it}", lambda: sample_fn(state, it),
+                     skip_counts=aux_skips, logger=logger, step=it)
         if (eval_fn is not None and config.eval_every
                 and (it % config.eval_every == 0 or it == config.total_steps)):
             # periodic IS/FID pause, like the reference's every-N-iter eval
-            scores = _run_aux(f"eval@{it}", lambda: eval_fn(state, it))
+            scores = _run_aux(f"eval@{it}", lambda: eval_fn(state, it),
+                              skip_counts=aux_skips, logger=logger, step=it)
             if scores is not None:
                 logger.flush(it, extra=scores)
         if ckpt is not None and (it % config.checkpoint_every == 0 or it == config.total_steps):

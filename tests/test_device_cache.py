@@ -223,3 +223,39 @@ def test_paired_device_cache_stream_and_policy(tmp_path):
                                                   image_size=32,
                                                   budget_bytes=10)
     assert isinstance(streamed, data.ThreadedSource)
+
+
+def test_sequential_batches_reuses_resident_store(tmp_path):
+    """Eval real-moment pass reads the RESIDENT buffer (no second upload):
+    values match the host store in order, the training stream position is
+    untouched, and over-reads fail loudly (ADVICE r4 train_sngan dup fix)."""
+    path = _make_store(tmp_path)
+    cache = data.DeviceCachedStore(path, batch_size=4, n_micro=2, seed=0)
+    host = data.PackedImageStore(path, batch_size=4, seed=0)
+
+    cache.set_stream_position(7)
+    got = list(cache.sequential_batches(8, 3))
+    assert cache._pos == 7  # eval pass must not advance the train stream
+    flat = np.concatenate([np.asarray(b) for b in got])
+    want = native.gather_normalize(host.images, np.arange(24))
+    np.testing.assert_array_equal(flat, want)
+    with pytest.raises(ValueError, match="holds"):
+        list(cache.sequential_batches(8, 100))
+
+
+def test_epoch_permutation_memoized(tmp_path):
+    """The per-epoch shuffle is generated once per epoch, not per step
+    (ADVICE r4: O(n) host work every step), and stays a pure function of
+    (seed, epoch)."""
+    from gan_lib_tensorflow_tpu.data import device_cache as dc
+
+    path = _make_store(tmp_path)
+    cache = data.DeviceCachedStore(path, batch_size=4, n_micro=2, seed=5)
+    i0 = cache.indices_for(0)
+    order_obj = cache._perm_cache[1]
+    cache.indices_for(1)
+    assert cache._perm_cache[1] is order_obj  # same epoch -> no regeneration
+    # epoch rollover regenerates; seeking BACK to epoch 0 reproduces step 0
+    cache.indices_for(cache._steps_per_epoch)
+    assert cache._perm_cache[0] == 1
+    np.testing.assert_array_equal(cache.indices_for(0), i0)

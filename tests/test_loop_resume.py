@@ -127,3 +127,44 @@ def test_aux_reraises_real_errors():
 
     with pytest.raises(jax.errors.JaxRuntimeError):
         loop_mod._run_aux("eval@300", broken)
+
+
+def test_aux_status_prefix_not_substring():
+    """A deterministic error merely MENTIONING a status word in its payload is
+    not transient (ADVICE r4: 'INTERNAL' anywhere used to match); only a
+    status-prefixed line or a tunnel-transport marker is."""
+    from gan_lib_tensorflow_tpu.train import loop as loop_mod
+
+    def misleading():
+        raise jax.errors.JaxRuntimeError(
+            "INVALID_ARGUMENT: op INTERNAL_GATHER has mismatched shapes")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        loop_mod._run_aux("eval@400", misleading)
+    assert loop_mod._is_transient("INTERNAL: tunnel dropped")
+    assert loop_mod._is_transient(
+        "Some wrapper line\nUNAVAILABLE: backend unreachable")
+    assert not loop_mod._is_transient("ValueError mentioning INTERNAL stuff")
+
+
+def test_aux_escalates_after_consecutive_skips(monkeypatch, capsys):
+    """A persistently failing eval re-raises after N consecutive skipped
+    invocations instead of silently disabling evals for the whole run."""
+    from gan_lib_tensorflow_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "_AUX_BACKOFF_S", 0.0)
+    skips = {}
+
+    def always_down():
+        raise jax.errors.JaxRuntimeError("UNAVAILABLE: backend unreachable")
+
+    for _ in range(loop_mod._AUX_MAX_CONSECUTIVE_SKIPS - 1):
+        assert loop_mod._run_aux("eval@500", always_down,
+                                 skip_counts=skips) is None
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        loop_mod._run_aux("eval@600", always_down, skip_counts=skips)
+    # a success in between resets the counter
+    skips2 = {}
+    loop_mod._run_aux("eval@1", always_down, skip_counts=skips2)
+    loop_mod._run_aux("eval@2", lambda: {"ok": 1.0}, skip_counts=skips2)
+    assert skips2["eval"] == 0

@@ -63,8 +63,27 @@ def test_swd_pyramid_real_vs_fake():
                           min_res=16, n_patches=32, n_proj=64, repeats=2)
     diff = pc.swd_pyramid(iter(mk(1.0)), iter(mk(0.2)), resolution=32,
                           min_res=16, n_patches=32, n_proj=64, repeats=2)
-    assert set(same) == {"swd_32", "swd_16", "swd_avg"}
+    assert set(same) == {"swd_32", "swd_16", "swd_avg", "swd_desc_dtype"}
+    assert same["swd_desc_dtype"] == "float16"
     assert diff["swd_avg"] > same["swd_avg"] > 0
+
+
+def test_swd_fp16_descriptor_store_matches_fp32():
+    """fp16 descriptor storage (the Karras-scale memory fix) deviates from
+    the reference's fp32 pipeline; this pins the claimed ~1e-3 relative
+    error with an actual tolerance instead of a comment (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    mk = lambda: [rng.uniform(-1, 1, (16, 32, 32, 3)).astype(np.float32)
+                  for _ in range(4)]
+    r, f = mk(), mk()
+    kw = dict(resolution=32, min_res=16, n_patches=64, n_proj=128, repeats=2)
+    lo = pc.swd_pyramid(iter(r), iter(f), desc_dtype=jnp.float16, **kw)
+    hi = pc.swd_pyramid(iter(r), iter(f), desc_dtype=jnp.float32, **kw)
+    assert hi["swd_desc_dtype"] == "float32"
+    for k in ("swd_32", "swd_16", "swd_avg"):
+        assert abs(lo[k] - hi[k]) / hi[k] < 5e-3, (k, lo[k], hi[k])
 
 
 def test_ms_ssim_diversity_detects_mode_collapse():
@@ -106,5 +125,5 @@ def test_swd_pyramid_below_min_res():
                   for _ in range(2)]
     out = pc.swd_pyramid(iter(mk()), iter(mk()), resolution=8, min_res=16,
                          n_patches=16, n_proj=32, repeats=1)
-    assert set(out) == {"swd_8", "swd_avg"}
+    assert set(out) == {"swd_8", "swd_avg", "swd_desc_dtype"}
     assert np.isfinite(out["swd_avg"])
