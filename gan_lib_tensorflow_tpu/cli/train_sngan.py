@@ -59,7 +59,12 @@ def main(argv=None):
     p.add_argument("--beta2", type=float, default=0.9)
     p.add_argument("--num-classes", type=int, default=0,
                    help=">0 trains the conditional (projection-style) variant")
-    p.add_argument("--ema-decay", type=float, default=0.9999)
+    p.add_argument("--ema-decay", type=float, default=0.9999,
+                   help="EMA of G params for sampling/eval — a documented "
+                        "IMPROVEMENT over the reference (which has no EMA; "
+                        "SURVEY §2.4). 0 disables = strict reference "
+                        "parity. EMA samples pair with the training BN "
+                        "running stats (models.sngan.make_sampler)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="compute IS/FID every N steps (reference: periodic "
                         "IS/FID pauses; offline uses the random-init "

@@ -40,7 +40,10 @@ def main(argv=None):
     p.add_argument("--width-mul", type=float, default=1.0,
                    help="channel-width multiplier (1.0 = reference width; "
                         "evaluate with the same value)")
-    p.add_argument("--ema-decay", type=float, default=0.9999)
+    p.add_argument("--ema-decay", type=float, default=0.9999,
+                   help="EMA of G params for sampling/eval (improvement "
+                        "over the reference, which has none — 0 disables "
+                        "for strict parity; see models.sngan.make_sampler)")
     p.set_defaults(steps=450_000)
     args = p.parse_args(argv)
     common.configure(args)

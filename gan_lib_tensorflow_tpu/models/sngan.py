@@ -230,7 +230,19 @@ def make_sngan_spec(
 
 def make_sampler(g_model: ResNetGenerator, use_ema: bool = True):
     """Jitted fixed-noise sampler for grids/eval (reference: restore -> run G
-    on fixed z, SURVEY.md §3.5)."""
+    on fixed z, SURVEY.md §3.5).
+
+    Sampling semantics (deliberate, tested in tests/test_models.py):
+    ``use_ema=True`` pairs the EMA'd generator params with the TRAINING
+    run's BatchNorm running stats (``state.g_state``) at ``train=False``.
+    The running stats are themselves a momentum-EMA of activation
+    statistics, tracked for the raw (non-EMA) G — the universal pairing in
+    EMA-sampling GAN implementations (BigGAN lineage); maintaining a second
+    stats collection for the EMA G would double BN state for no measured
+    benefit. The reference SNGAN has NO EMA at all (SURVEY §2.4): pass
+    ``--ema-decay 0`` on the CLI (ema_params=None -> this sampler falls
+    back to raw g_params) for strict reference-output parity; the 0.9999
+    default is a documented improvement on the FID path."""
 
     def sample(state, rng, n):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.g_params

