@@ -118,3 +118,37 @@ def test_report_run_flags_saturated_d(tmp_path):
     rep = report_run.analyze(str(run))
     assert any("saturated" in fl for fl in rep["flags"])
     assert report_run.main([str(run)]) == 1
+
+
+def test_prepack_synthetic_pyramid(tmp_path):
+    """--resolutions writes a pyramid train_pggan can consume: every member
+    opens through open_pyramid, lower members are exact 2x box downsamples
+    of the base render (same path prepack_dataset uses), and batches land
+    in [-1, 1]."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import prepack_synthetic
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "pyr")
+    prepack_synthetic.main(["--out", out, "--n", "16", "--size", "16",
+                            "--resolutions", "16,8,4", "--seed", "3"])
+
+    from gan_lib_tensorflow_tpu import data as data_lib
+    for res in (16, 8, 4):
+        src = data_lib.open_pyramid(out, batch_size=4, resolution=res)
+        batch = next(iter(src))
+        img = batch["image"] if isinstance(batch, dict) else batch
+        img = np.asarray(img)
+        assert img.shape[-3:] == (res, res, 3)
+        assert img.min() >= -1.0 and img.max() <= 1.0
+
+    # downsample exactness: r0008 is the 2x box mean of r0016 (quantized)
+    top = np.memmap(os.path.join(out, "r0016", "images.u8"), np.uint8,
+                    mode="r", shape=(16, 16, 16, 3))
+    mid = np.memmap(os.path.join(out, "r0008", "images.u8"), np.uint8,
+                    mode="r", shape=(16, 8, 8, 3))
+    want = np.asarray(top, np.float32).reshape(16, 8, 2, 8, 2, 3).mean((2, 4))
+    np.testing.assert_allclose(np.asarray(mid, np.float32), want, atol=1.0)
