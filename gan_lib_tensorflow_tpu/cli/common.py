@@ -76,6 +76,9 @@ def compute_dtype(args) -> Optional[jnp.dtype]:
 def maybe_mesh(args):
     from ..parallel import create_mesh
     tp = getattr(args, "tp_shards", 1)
+    if args.no_mesh and tp > 1:
+        raise SystemExit("--no-mesh and --tp-shards > 1 conflict: tensor "
+                         "parallelism needs the device mesh")
     if args.no_mesh or (jax.device_count() == 1 and tp <= 1):
         return None
     if tp > 1:

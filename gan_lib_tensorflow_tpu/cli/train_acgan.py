@@ -46,7 +46,9 @@ def main(argv=None):
         g_optim, d_optim)
 
     mesh = common.maybe_mesh(args)
-    step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+    step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh,
+                             state_shardings=common.state_layout(
+                                 args, state, mesh))
     source = common.image_source(args, args.batch_size, 32, 10,
                                  n_micro=spec.n_micro, mesh=mesh)
 

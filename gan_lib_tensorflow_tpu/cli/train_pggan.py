@@ -82,6 +82,14 @@ def main(argv=None):
 
     import jax
     from ..parallel import create_mesh
+    if getattr(args, "tp_shards", 1) > 1:
+        # the ladder rebuilds its train step per phase inside pggan_loop and
+        # PGGAN's memory pressure is activations (spatial), not params — the
+        # right multi-chip axis here is --sp-shards; fail loudly instead of
+        # silently training replicated params on a 'model' axis
+        raise SystemExit("--tp-shards is not supported by the PGGAN ladder; "
+                         "use --sp-shards (spatial partitioning) for "
+                         "high-res memory pressure")
     if args.sp_shards > 1:
         n = jax.device_count()
         if n % args.sp_shards:

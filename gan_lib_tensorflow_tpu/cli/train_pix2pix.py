@@ -136,7 +136,9 @@ def main(argv=None):
 
     if args.mode == "train":
         mesh = common.maybe_mesh(args)
-        step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh)
+        step_fn = jit_train_step(spec, g_optim, d_optim, mesh=mesh,
+                                 state_shardings=common.state_layout(
+                                     args, state, mesh))
         # decode/jitter/render on worker threads (the reference's queue-runner
         # role) or, for device-* synthetics, jitted on the accelerator
         source = paired_source(args, n_micro=spec.n_micro, mesh=mesh)
