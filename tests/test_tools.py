@@ -152,3 +152,36 @@ def test_prepack_synthetic_pyramid(tmp_path):
                     mode="r", shape=(16, 8, 8, 3))
     want = np.asarray(top, np.float32).reshape(16, 8, 2, 8, 2, 3).mean((2, 4))
     np.testing.assert_allclose(np.asarray(mid, np.float32), want, atol=1.0)
+
+
+def test_plot_dose_response_sorts_and_fails_loud(tmp_path):
+    """plot_dose_response: points sort by budget regardless of --run order,
+    a run without its eval JSON fails loudly (unevaluated runs must not
+    silently drop out of the artifact), and a figure renders."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import plot_dose_response
+
+    for name, budget, swd64 in [("a", 96000, 32.3), ("b", 32000, 61.1)]:
+        d = tmp_path / name
+        d.mkdir()
+        rec = {"swd_128": 35.0, "swd_64": swd64, "swd_32": 34.0,
+               "swd_16": 36.0, "swd_avg": 41.0}
+        with open(d / "eval_karras_128.json", "w") as f:
+            json.dump(rec, f)
+
+    pts = plot_dose_response.load_points(
+        [f"{tmp_path}/a=96000", f"{tmp_path}/b=32000"])
+    assert [b for b, _ in pts] == [32000, 96000]
+    assert pts[0][1]["swd_64"] == 61.1
+
+    (tmp_path / "c").mkdir()
+    with pytest.raises(SystemExit):
+        plot_dose_response.load_points([f"{tmp_path}/c=192000"])
+    with pytest.raises(SystemExit):
+        plot_dose_response.load_points([f"{tmp_path}/a"])  # budget missing
+
+    out = tmp_path / "dose.png"
+    plot_dose_response.main([
+        "--run", f"{tmp_path}/b=32000", "--run", f"{tmp_path}/a=96000",
+        "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
