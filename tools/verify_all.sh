@@ -41,6 +41,15 @@ echo "== 6. multichip dryrun (8 virtual CPU devices) =="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python -c "import jax; jax.config.update('jax_platforms','cpu'); import __graft_entry__ as e; e.dryrun_multichip(8)"
 
+echo "== 6b. DP x TP via the stock CLI (data=4 x model=2 mesh, virtual devices) =="
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+from gan_lib_tensorflow_tpu.cli import train_sngan; \
+train_sngan.main(['--steps','2','--log-every','1','--sample-every','2', \
+ '--ckpt-every','2','--out-dir','$OUT/sngan_tp','--compute-dtype','fp32', \
+ '--batch-size','8','--n-critic','1','--data','fake','--tp-shards','2'])"
+test -s "$OUT/sngan_tp/log.jsonl"
+
 echo "== 7. north-star harness (smoke: synthetic stand-ins, UNGRADED) =="
 python -m gan_lib_tensorflow_tpu.cli.north_star --smoke \
   --out-dir "$OUT/north_star" | tee "$OUT/north_star.out"
