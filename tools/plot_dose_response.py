@@ -7,9 +7,13 @@ schedule's 600k/phase (SURVEY.md section 2.4, PGGAN row) is marked for scale.
 Each point is one complete on-chip ladder run evaluated under the identical
 Karras-scale protocol (cli.evaluate --model pggan, 16,384 images/side against
 the packed store). This is the figure that closes the round-4 "SWD 64^2
-outlier" item: if the mid-frequency deficit is budget (not architecture or a
-pipeline bug), every level's curve must fall with budget, with 64^2 falling
-fastest from the worst start.
+outlier" item. The measured curve turned out NON-monotone: 32k->96k halves
+every band (budget is the controlling knob, 64^2 falls fastest from the worst
+start, confirming the diagnosis), but 96k->192k bends back up in the mid/fine
+bands — ~12 epochs/phase over the 16,384-image store hits the finite
+fixture's diversity ceiling and the critic memorizes (docs/PERF.md
+"Dose-response" section). The figure should show the knee, not a monotone
+drop; that IS the finding.
 
 Usage:
   python tools/plot_dose_response.py \
