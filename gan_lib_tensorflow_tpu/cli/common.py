@@ -9,10 +9,16 @@ flag vocabulary.
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Repo root (= parent of the package dir): the default home of the shared
+# persistent XLA compile cache, the same one bench.py primes.
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -53,7 +59,39 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "transfer law)")
     p.add_argument("--device-cache-gb", type=float, default=2.0,
                    help="HBM budget for --device-cache auto/on")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compile-cache dir (default: "
+                        "repo-local .jax_cache, or $GANTPU_COMPILE_CACHE; "
+                        "'none' disables). First compile through the "
+                        "tunneled backend costs minutes per distinct "
+                        "computation — relaunches/resumes/ladder re-runs "
+                        "replay from the cache in seconds")
     return p
+
+
+def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point XLA's persistent compile cache at ``path`` (shared default:
+    repo-local ``.jax_cache``, the same cache ``bench.py`` primes).
+
+    Cold compiles through the tunneled axon backend run minutes per distinct
+    computation (observed ~13 min for the fused SNGAN step, ~3 min per PGGAN
+    ladder phase); every training/eval CLI enables the cache so a resume,
+    relaunch, or repeat eval replays executables in seconds. Best-effort —
+    the experimental backend may decline to serialize, in which case this is
+    a no-op (and XLA falls back to compiling, never fails)."""
+    if path is None:
+        path = os.environ.get("GANTPU_COMPILE_CACHE",
+                              os.path.join(_REPO_ROOT, ".jax_cache"))
+    if not path or path.lower() in ("none", "off"):
+        return None
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - config keys vanish upstream
+        print(f"note: compile cache unavailable: {e}", flush=True)
+        return None
+    return path
 
 
 def device_cache_kwargs(args) -> dict:
@@ -67,6 +105,7 @@ def configure(args) -> None:
     """Apply global debug/runtime flags before building any computation."""
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    enable_compile_cache(getattr(args, "compile_cache", None))
 
 
 def compute_dtype(args) -> Optional[jnp.dtype]:

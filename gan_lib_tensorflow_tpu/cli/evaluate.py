@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import common
 from .. import data as data_lib
 from ..eval import compute_statistics, evaluate_generator
 from ..eval.inception_v3 import InceptionV3Features
@@ -70,6 +71,7 @@ def main(argv=None):
     p.add_argument("--out-json", default=None,
                    help="also write the result record to this file")
     args = p.parse_args(argv)
+    common.enable_compile_cache()
     if args.model == "sngan_imagenet":  # cli.sample's name for the family
         args.model = "imagenet"
 

@@ -102,6 +102,8 @@ def main(argv=None):
     p.add_argument("--skip-train", action="store_true",
                    help="evaluate the existing checkpoint only")
     args = p.parse_args(argv)
+    from . import common
+    common.enable_compile_cache()
     os.makedirs(args.out_dir, exist_ok=True)
 
     # ---- 1. assets -------------------------------------------------------

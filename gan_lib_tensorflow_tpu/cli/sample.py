@@ -24,6 +24,7 @@ import sys
 import jax
 import jax.numpy as jnp
 
+from . import common
 from ..train import CheckpointManager, eval_state_from_raw
 from ..utils import save_image_grid
 
@@ -45,6 +46,7 @@ def main(argv=None):
                    help="also write a serving bundle (orbax params + "
                         "StableHLO of the jitted generator) here")
     args = p.parse_args(argv)
+    common.enable_compile_cache()
 
     if args.model == "imagenet":  # cli.evaluate's name for the family
         args.model = "sngan_imagenet"

@@ -33,9 +33,12 @@ def _assert_run_artifacts(out_dir, expect_samples=True):
 
 
 def _common(out_dir):
+    # --compile-cache into the per-test tmp: exercises the flag end-to-end
+    # and keeps test executables out of the repo-local .jax_cache
     return ["--steps", "2", "--log-every", "1", "--sample-every", "2",
             "--ckpt-every", "2", "--out-dir", out_dir,
-            "--compute-dtype", "fp32", "--no-mesh", "--seed", "0"]
+            "--compute-dtype", "fp32", "--no-mesh", "--seed", "0",
+            "--compile-cache", os.path.join(out_dir, "xla_cache")]
 
 
 def test_train_sngan_cli_smoke(tmp_path):
@@ -95,6 +98,26 @@ def test_train_sngan_cli_tp_shards_smoke(tmp_path):
                       "--data", "fake", "--ema-decay", "0.999",
                       "--tp-shards", "2"])
     _assert_run_artifacts(out)
+
+
+def test_compile_cache_helper(tmp_path):
+    """enable_compile_cache points XLA's persistent cache at the requested
+    dir ('none' is a no-op; default = repo-local .jax_cache, the one
+    bench.py primes). Every CLI calls this via common.configure so tunnel
+    recompiles are paid once per distinct computation, not per process."""
+    import jax
+    from gan_lib_tensorflow_tpu.cli import common
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "cache")
+        assert common.enable_compile_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        assert common.enable_compile_cache("none") is None
+        assert jax.config.jax_compilation_cache_dir == d  # untouched
+        default = common.enable_compile_cache(None)
+        assert default is not None and default.endswith(".jax_cache")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_tp_shards_conflicts_fail_loudly(tmp_path):
